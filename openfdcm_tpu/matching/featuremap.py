@@ -1,0 +1,375 @@
+"""DT3 feature map: an orientation-indexed bank of line-integral'd distance
+transforms, as one dense ``f32[depth, H, W]`` tensor.
+
+TPU redesign of the reference's ``Dt3Cpu`` (``matching/featuremaps/dt3cpu.h``,
+``src/featuremaps/dt3cpu.cpp``), which stores a ``std::map<angle, image>`` and
+fans the per-angle DTs out on a thread pool.  Here the whole bank is a single
+stacked tensor; the per-angle DTs run as one vmapped seed-min kernel, the
+circular orientation propagation is a short sequential min-plus pass over the
+depth axis, and the per-slice directional line integral is the shear-cumsum
+from :mod:`openfdcm_tpu.core.integral`.
+
+Build steps (reference ``dt3cpu.h:174-234``):
+  1. shift the scene into a square positive canvas,
+  2. depth evenly-spaced angles ``i*pi/depth - pi/2``,
+  3. classify scene lines to the circularly-nearest angle; per-angle DT of
+     only that angle's lines,
+  4. propagate min across orientations (1.5 forward + 1.5 backward cycles of
+     ``img[c] = min(img[c], img[c-1] + coeff*dtheta)``),
+  5. in-place line integral of each slice along its own angle.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import geometry as geo
+from ..core import draw, integral
+from ..core.dt import distance_from_seeds
+from ..core.types import Distance, F32_MAX
+
+
+@dataclasses.dataclass(frozen=True)
+class Dt3Params:
+    """Reference ``Dt3CpuParameters`` (``dt3cpu.h:34-42``) + distance
+    (the Python binding's ``PyDt3CpuParameters``, ``python/src/matching.cpp:51-60``)."""
+    depth: int = 30
+    dt3_coeff: float = 5.0
+    padding: float = 2.2
+    distance: Distance = Distance.L2
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Dt3Featuremap:
+    """The built feature map.
+
+    ``dt3``: ``f32[depth, H, W]`` (physical H/W may exceed the logical
+    ``feature_size`` for tile alignment; the logical region is bit-exact).
+    ``angles``: ``f32[depth]`` sorted ascending.
+    ``scene_translation``: the shift applied to the scene (``dt3cpu.h:55-60``).
+    ``feature_size``: logical ``(width, height)`` — the reference ``Size``.
+    """
+    dt3: jax.Array
+    angles: jax.Array
+    scene_translation: jax.Array
+    feature_size: tuple  # (width, height) static
+    params: Dt3Params = dataclasses.field(default_factory=Dt3Params)
+
+    def tree_flatten(self):
+        return (self.dt3, self.angles, self.scene_translation), (self.feature_size, self.params)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, feature_size=aux[0], params=aux[1])
+
+    @property
+    def depth(self) -> int:
+        return self.dt3.shape[0]
+
+    def get_feature_size(self):
+        return self.feature_size
+
+    def get_scene_translation(self):
+        return self.scene_translation
+
+
+def empty_featuremap(params: Dt3Params = Dt3Params()) -> Dt3Featuremap:
+    """The reference's empty-scene result (``dt3cpu.h:180-181``)."""
+    return Dt3Featuremap(
+        dt3=jnp.zeros((0, 0, 0), jnp.float32),
+        angles=jnp.zeros((0,), jnp.float32),
+        scene_translation=jnp.zeros((2,), jnp.float32),
+        feature_size=(0, 0),
+        params=params,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scene shift — reference dt3cpu.cpp:109-116
+# ---------------------------------------------------------------------------
+
+def scene_centered_translation(scene: np.ndarray, padding: float):
+    """Returns ``(translation f32(2,), (width, height))``; all math in f32."""
+    pts = np.asarray(scene, np.float32).reshape(-1, 2)
+    min_pt = pts.min(axis=0)
+    max_pt = pts.max(axis=0)
+    ratio = np.float32(max(1.0, padding))
+    required_max = ratio * np.float32((max_pt - min_pt).max()) * np.ones(2, np.float32)
+    translation = required_max / np.float32(2) - (max_pt + min_pt) / np.float32(2)
+    size = np.ceil(required_max + np.float32(1)).astype(np.int64)
+    return translation, (int(size[0]), int(size[1]))
+
+
+# ---------------------------------------------------------------------------
+# Orientation classification — reference dt3cpu.h:93-134
+# ---------------------------------------------------------------------------
+
+def closest_orientation_idx(angles, theta):
+    """Index of the map-nearest angle for each ``theta``.
+
+    Emulates the reference's ``std::map`` search (``dt3cpu.h:93-114``):
+    interior thetas pick the closer of the two bracketing angles (ties to the
+    upper); thetas beyond either end compare circular distance to the first
+    and last angle (ties and NaN to the last).
+    """
+    angles = jnp.asarray(angles)
+    theta = jnp.asarray(theta)
+    d = angles.shape[0]
+    u = jnp.searchsorted(angles, theta, side="right")
+    interior = (u > 0) & (u < d)
+    lo = jnp.clip(u - 1, 0, d - 1)
+    hi = jnp.clip(u, 0, d - 1)
+    pick_lo = jnp.abs(theta - angles[lo]) < jnp.abs(theta - angles[hi])
+    interior_idx = jnp.where(pick_lo, lo, hi)
+    a1 = theta - angles[0]
+    a2 = theta - angles[d - 1]
+    pick_first = jnp.minimum(a1, jnp.abs(a1 - math.pi)) < jnp.minimum(a2, jnp.abs(a2 - math.pi))
+    boundary_idx = jnp.where(pick_first, 0, d - 1)
+    return jnp.where(interior, interior_idx, boundary_idx)
+
+
+def make_angles(depth: int) -> np.ndarray:
+    """``i*pi/depth - pi/2`` in f32, ascending.  Reference ``dt3cpu.h:188-190``."""
+    i = np.arange(depth, dtype=np.float32)
+    return (i * np.float32(math.pi) / np.float32(depth) - np.float32(math.pi / 2)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Orientation propagation — reference dt3cpu.cpp:77-107
+# ---------------------------------------------------------------------------
+
+def propagation_schedule(angles: np.ndarray, coeff: float):
+    """Static (c1, c2, addend) schedule for the 1.5-cycle circular min pass."""
+    m = len(angles)
+    fwd_end = int(math.ceil(1.5 * m))
+    bwd_end = -int(math.floor(1.5 * m))
+    steps = []
+    for c in range(0, fwd_end, 1):
+        c1 = (m + ((c - 1) % m)) % m
+        c2 = (m + (c % m)) % m
+        steps.append((c1, c2))
+    c = m
+    while c != bwd_end:
+        c1 = (m + ((c + 1) % m)) % m
+        c2 = (m + (c % m)) % m
+        steps.append((c1, c2))
+        c -= 1
+    c1s = np.array([s[0] for s in steps], np.int32)
+    c2s = np.array([s[1] for s in steps], np.int32)
+    a = angles[c1s].astype(np.float32)
+    b = angles[c2s].astype(np.float32)
+    h = np.abs(a - b).astype(np.float32)
+    min_h = np.minimum(h, np.abs(h - np.float32(math.pi))).astype(np.float32)
+    addend = (np.float32(coeff) * min_h).astype(np.float32)
+    return c1s, c2s, addend
+
+
+@jax.jit
+def propagate_orientation(dt3: jax.Array, c1s: jax.Array, c2s: jax.Array,
+                          addend: jax.Array) -> jax.Array:
+    """Sequential circular min-plus propagation over the depth axis."""
+    def body(i, vol):
+        src = vol[c1s[i]] + addend[i]
+        dst = jnp.minimum(vol[c2s[i]], src)
+        return vol.at[c2s[i]].set(dst)
+    return jax.lax.fori_loop(0, c1s.shape[0], body, dt3)
+
+
+# ---------------------------------------------------------------------------
+# Featuremap build
+# ---------------------------------------------------------------------------
+
+def build_featuremap(scene, params: Dt3Params = Dt3Params(),
+                     pad_to: int | None = None) -> Dt3Featuremap:
+    """Build the DT3 feature map of a scene.  Reference ``dt3cpu.h:174-234``.
+
+    ``scene`` is host data (``(N, 4)`` or the reference's ``(4, N)``).
+    ``pad_to``: optionally round the *physical* canvas up to a multiple for
+    tile alignment / compilation-cache friendliness; the logical region and
+    all lookups are unaffected (padding lives on the trailing side of every
+    sweep).
+    """
+    scene = np.asarray(geo.as_lines(scene))
+    if scene.shape[0] == 0:
+        return empty_featuremap(params)
+
+    translation, (w, h) = scene_centered_translation(scene, params.padding)
+    translated = scene + np.concatenate([translation, translation]).astype(np.float32)
+
+    angles = make_angles(params.depth)
+    # Classify lines to their circularly nearest angle (host; scene is host data).
+    d = translated[:, 2:4] - translated[:, 0:2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        theta = np.arctan(d[:, 1] / d[:, 0]).astype(np.float32)
+    slice_of_line = np.asarray(closest_orientation_idx(jnp.asarray(angles), jnp.asarray(theta)))
+
+    ph = pw = None
+    if pad_to:
+        ph = -(-h // pad_to) * pad_to
+        pw = -(-w // pad_to) * pad_to
+    else:
+        ph, pw = h, w
+
+    # Group lines per slice, pad to the max group size.
+    groups = [np.nonzero(slice_of_line == s)[0] for s in range(params.depth)]
+    gmax = max(1, max(len(g) for g in groups))
+    line_idx = np.zeros((params.depth, gmax), np.int32)
+    line_valid = np.zeros((params.depth, gmax), bool)
+    for s, g in enumerate(groups):
+        line_idx[s, : len(g)] = g
+        line_valid[s, : len(g)] = True
+
+    max_points = int(math.hypot(w, h)) + 2
+    dt3 = _build_dt_stack(
+        jnp.asarray(translated), jnp.asarray(line_idx), jnp.asarray(line_valid),
+        height=h, width=w, phys_h=ph, phys_w=pw,
+        metric=params.distance, max_points=max_points)
+
+    c1s, c2s, addend = propagation_schedule(angles, params.dt3_coeff)
+    dt3 = propagate_orientation(dt3, jnp.asarray(c1s), jnp.asarray(c2s), jnp.asarray(addend))
+
+    dt3 = integral.line_integral_stack(dt3, list(angles))
+
+    return Dt3Featuremap(
+        dt3=dt3,
+        angles=jnp.asarray(angles),
+        scene_translation=jnp.asarray(translation),
+        feature_size=(w, h),
+        params=params,
+    )
+
+
+@partial(jax.jit, static_argnames=("height", "width", "phys_h", "phys_w", "metric", "max_points"))
+def _build_dt_stack(lines, line_idx, line_valid, *, height, width, phys_h, phys_w,
+                    metric, max_points):
+    """Per-slice DT: vmapped seed-min over each slice's line group."""
+    def one_slice(idx, valid):
+        group = lines[idx]  # (G, 4)
+        pts, mask = draw.seed_points(group, height, width, max_points)
+        mask = mask & jnp.repeat(valid, max_points)
+        img = distance_from_seeds(pts, mask, height=height, width=width, metric=metric)
+        if (phys_h, phys_w) != (height, width):
+            img = jnp.pad(img, ((0, phys_h - height), (0, phys_w - width)))
+        return img
+
+    return jax.vmap(one_slice)(line_idx, line_valid)
+
+
+# ---------------------------------------------------------------------------
+# minmaxTranslation — reference dt3cpu.cpp:30-75
+# ---------------------------------------------------------------------------
+
+def minmax_translation(featuremap: Dt3Featuremap, tmpl: jax.Array, align_vec: jax.Array,
+                       line_mask: jax.Array | None = None):
+    """Legal ``[min_mul, max_mul]`` step multipliers along ``align_vec``.
+
+    Vectorizable closed form of the reference: intersect the template bbox's
+    movement ray with the four image borders.  Returns ``(neg, pos)`` floats;
+    ``(inf, inf)`` for a null align vector, ``(nan, nan)`` if the template
+    already exceeds bounds.
+    """
+    w, h = featuremap.feature_size
+    return minmax_translation_raw(tmpl, align_vec, (float(w), float(h)),
+                                  featuremap.scene_translation, line_mask)
+
+
+def minmax_translation_raw(tmpl: jax.Array, align_vec: jax.Array, size_wh,
+                           extra_translation, line_mask: jax.Array | None = None):
+    """Core formula; ``tmpl``: ``(..., L, 4)``, ``align_vec``: ``(..., 2)``."""
+    size = jnp.asarray(size_wh, jnp.float32)
+    pts = tmpl.reshape(*tmpl.shape[:-1], 2, 2)
+    if line_mask is not None:
+        big = jnp.where(line_mask[..., None, None], pts, jnp.inf)
+        small = jnp.where(line_mask[..., None, None], pts, -jnp.inf)
+        min_pt = jnp.min(big, axis=(-3, -2))
+        max_pt = jnp.max(small, axis=(-3, -2))
+    else:
+        min_pt = jnp.min(pts, axis=(-3, -2))
+        max_pt = jnp.max(pts, axis=(-3, -2))
+    min_pt = min_pt + extra_translation
+    max_pt = max_pt + extra_translation
+
+    oob = jnp.any((size - 1 - max_pt) < 0, axis=-1) | jnp.any(min_pt < 0, axis=-1)
+
+    # (..., 2 axes, 4 candidates)
+    mult = jnp.stack([-max_pt, -min_pt, size - max_pt - 1.0, size - min_pt - 1.0], axis=-1)
+    mult = mult / align_vec[..., None]
+    negative = jnp.signbit(mult)
+    pos_c = jnp.where(negative, jnp.inf, mult)
+    neg_c = jnp.where(negative, mult, -jnp.inf)
+
+    def nanmax(x, axis):
+        return jnp.where(jnp.any(jnp.isnan(x), axis=axis), jnp.nan, jnp.max(x, axis=axis))
+
+    def nanmin(x, axis):
+        return jnp.where(jnp.any(jnp.isnan(x), axis=axis), jnp.nan, jnp.min(x, axis=axis))
+
+    neg_ax = nanmax(neg_c, -1)   # (..., 2) per-axis negative bound
+    pos_ax = nanmin(pos_c, -1)   # (..., 2) per-axis positive bound
+
+    both_finite = jnp.isfinite(neg_ax).all(axis=-1) & jnp.isfinite(pos_ax).all(axis=-1)
+    x_finite = jnp.isfinite(neg_ax[..., 0]) & jnp.isfinite(pos_ax[..., 0])
+
+    neg = jnp.where(both_finite, jnp.max(neg_ax, axis=-1),
+                    jnp.where(x_finite, neg_ax[..., 0], neg_ax[..., 1]))
+    pos = jnp.where(both_finite, jnp.min(pos_ax, axis=-1),
+                    jnp.where(x_finite, pos_ax[..., 0], pos_ax[..., 1]))
+
+    null_vec = jnp.all(jnp.abs(align_vec) <= 1e-5, axis=-1)
+    neg = jnp.where(null_vec, jnp.inf, jnp.where(oob, jnp.nan, neg))
+    pos = jnp.where(null_vec, jnp.inf, jnp.where(oob, jnp.nan, pos))
+    return neg, pos
+
+
+# ---------------------------------------------------------------------------
+# evaluate — reference dt3cpu.cpp:126-179
+# ---------------------------------------------------------------------------
+
+def evaluate_batched(dt3_flat: jax.Array, hw: tuple, slice_idx: jax.Array,
+                     endpoints: jax.Array, line_mask: jax.Array,
+                     translations: jax.Array) -> jax.Array:
+    """Batched FDCM scoring.
+
+    ``dt3_flat``: ``f32[D*H*W]`` flattened feature bank (physical H/W).
+    ``slice_idx``: ``(..., L)`` orientation slice per line.
+    ``endpoints``: ``(..., L, 2, 2)`` float endpoints (pre scene-translation).
+    ``translations``: ``(..., K, 2)`` translations to score (these already
+    include the scene translation).
+    Returns scores ``(..., K)``: per translation, sum over lines of
+    ``|dt3[o, y2, x2] - dt3[o, y1, x1]|`` with int-truncated coordinates.
+    """
+    h, w = hw
+    pos = endpoints[..., None, :, :, :] + translations[..., :, None, None, :]
+    xi = pos[..., 0].astype(jnp.int32)  # trunc toward zero (in-bounds => floor)
+    yi = pos[..., 1].astype(jnp.int32)
+    flat = (slice_idx[..., None, :, None] * (h * w) + yi * w + xi)
+    vals = jnp.take(dt3_flat, flat, mode="clip")  # (..., K, L, 2)
+    per_line = jnp.abs(vals[..., 0] - vals[..., 1])
+    per_line = per_line * line_mask[..., None, :]
+    return jnp.sum(per_line, axis=-1)
+
+
+def evaluate(featuremap: Dt3Featuremap, templates, translations):
+    """Reference-shaped entry: list of templates, list of per-template
+    translation lists -> list of per-template score lists.
+    (``featuremap.h:159`` / ``dt3cpu.cpp:126-179``.)"""
+    out = []
+    d, ph, pw = featuremap.dt3.shape
+    flat = featuremap.dt3.reshape(-1)
+    for tmpl, trs in zip(templates, translations):
+        t = geo.as_lines(tmpl)
+        theta = geo.get_angle(t)
+        o = closest_orientation_idx(featuremap.angles, theta)
+        # endpoints order: [p1, p2] along axis -2; score uses |v(p1)-v(p2)|.
+        eps = t.reshape(t.shape[0], 2, 2)
+        tr = jnp.asarray(np.asarray(trs, np.float32).reshape(-1, 2)) + featuremap.scene_translation
+        scores = evaluate_batched(flat, (ph, pw), o, eps,
+                                  jnp.ones(t.shape[0], jnp.float32), tr)
+        out.append([float(s) for s in np.asarray(scores)])
+    return out
