@@ -54,6 +54,7 @@ def draw_lines(img: jax.Array, lines: jax.Array, color, max_points: int | None =
 def _draw(img, lines, color, h, w, max_points):
     pts, mask = seed_points(lines, h, w, max_points)
     # Masked points get an out-of-range index and are dropped by the scatter.
-    x = jnp.where(mask, pts[:, 0], -1)
-    y = jnp.where(mask, pts[:, 1], -1)
+    # (Must be positive: negative indices wrap in JAX even under mode="drop".)
+    x = jnp.where(mask, pts[:, 0], w)
+    y = jnp.where(mask, pts[:, 1], h)
     return img.at[y, x].set(color, mode="drop")
