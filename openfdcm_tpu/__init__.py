@@ -1,6 +1,42 @@
 """openfdcm_tpu: a TPU-native Fast Directional Chamfer Matching framework.
 
-Re-implements the full capability surface of Innoptech/OpenFDCM (reference)
-with a JAX/XLA/Pallas compute path designed for TPUs.
+Re-implements the full capability surface of Innoptech/OpenFDCM with a
+JAX/XLA compute path designed TPU-first: the DT3 feature bank is one dense
+``[depth, H, W]`` tensor built with batched seed-min distance transforms and
+shear-cumsum line integrals; candidate generation, alignment, and the greedy
+1D optimizers all run as lockstep batched device code.
+
+Public API mirrors the reference's Python module
+(``modules/python/src/matching.cpp:62-307``, ``core.cpp:39-50``); see
+:mod:`openfdcm_tpu.compat` for a drop-in ``import openfdcm`` shim.
 """
+from .core.types import Distance
+from .core import geometry, io
+from .core.io import read, write
+from .core.geometry import get_template_lengths
+from .matching.featuremap import (
+    Dt3Params, Dt3Featuremap, build_featuremap, evaluate, minmax_translation,
+)
+from .matching.search import (
+    DefaultSearch, ConcentricRangeStrategy, establish_search_strategy,
+)
+from .matching.optimize import (
+    DefaultOptimize, IndulgentOptimize, BatchOptimize, DenseOptimize, optimize,
+)
+from .matching.penalty import DefaultPenalty, ExponentialPenalty, penalize
+from .matching.match import Match, DefaultMatch, search, sort_matches
+
+# Reference spells the enum `openfdcm.distance`.
+distance = Distance
+
 __version__ = "0.1.0"
+
+__all__ = [
+    "Distance", "distance", "read", "write", "get_template_lengths",
+    "Dt3Params", "Dt3Featuremap", "build_featuremap", "evaluate",
+    "minmax_translation", "DefaultSearch", "ConcentricRangeStrategy",
+    "establish_search_strategy", "DefaultOptimize", "IndulgentOptimize",
+    "BatchOptimize", "DenseOptimize", "optimize", "DefaultPenalty",
+    "ExponentialPenalty", "penalize", "Match", "DefaultMatch", "search",
+    "sort_matches", "geometry", "io",
+]

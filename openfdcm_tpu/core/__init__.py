@@ -1,2 +1,2 @@
 from .types import Distance, F32_MAX
-from . import geometry, rasterize, draw, dt, integral
+from . import geometry, rasterize, draw, dt, integral, io

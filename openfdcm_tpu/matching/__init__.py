@@ -1,1 +1,1 @@
-from . import featuremap
+from . import featuremap, search, optimize, penalty, match

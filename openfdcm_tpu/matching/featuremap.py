@@ -186,7 +186,7 @@ def propagate_orientation(dt3: jax.Array, c1s: jax.Array, c2s: jax.Array,
 # ---------------------------------------------------------------------------
 
 def build_featuremap(scene, params: Dt3Params = Dt3Params(),
-                     pad_to: int | None = None) -> Dt3Featuremap:
+                     pad_to: int | None = 64) -> Dt3Featuremap:
     """Build the DT3 feature map of a scene.  Reference ``dt3cpu.h:174-234``.
 
     ``scene`` is host data (``(N, 4)`` or the reference's ``(4, N)``).
@@ -225,7 +225,7 @@ def build_featuremap(scene, params: Dt3Params = Dt3Params(),
         line_idx[s, : len(g)] = g
         line_valid[s, : len(g)] = True
 
-    max_points = int(math.hypot(w, h)) + 2
+    max_points = -(-(int(math.hypot(w, h)) + 2) // 64) * 64
     dt3 = _build_dt_stack(
         jnp.asarray(translated), jnp.asarray(line_idx), jnp.asarray(line_valid),
         height=h, width=w, phys_h=ph, phys_w=pw,
@@ -234,7 +234,7 @@ def build_featuremap(scene, params: Dt3Params = Dt3Params(),
     c1s, c2s, addend = propagation_schedule(angles, params.dt3_coeff)
     dt3 = propagate_orientation(dt3, jnp.asarray(c1s), jnp.asarray(c2s), jnp.asarray(addend))
 
-    dt3 = integral.line_integral_stack(dt3, list(angles))
+    dt3 = integral.line_integral_stack(dt3, list(angles), logical_hw=(h, w))
 
     return Dt3Featuremap(
         dt3=dt3,

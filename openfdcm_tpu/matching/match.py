@@ -1,0 +1,149 @@
+"""Match orchestration: the main ``search`` entry point.
+
+Reference ``src/matchstrategies/defaultmatch.cpp``: for every template and
+every (template line, scene line) combination from the search strategy,
+generate both aligning transforms, then run ONE batched optimize over all
+candidates and turn finite results into matches.
+
+TPU redesign: candidate generation is closed-form and fully batched — the
+aligned-template tensor ``(C, Lmax, 4)`` is built on device in one shot, and
+the optimizer scores every candidate in lockstep.  Candidate counts are
+padded to buckets so repeated searches hit the jit cache.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import geometry as geo
+from . import featuremap as fm
+from . import optimize as opt
+from .search import establish_search_strategy
+
+
+@dataclasses.dataclass
+class Match:
+    """Reference ``matchstrategy.h:35-45``."""
+    tmpl_idx: int
+    score: float
+    transform: np.ndarray  # 2x3
+
+    def __lt__(self, other):
+        return self.score < other.score
+
+
+@dataclasses.dataclass(frozen=True)
+class DefaultMatch:
+    """The (only) reference match strategy (``defaultmatch.h:31-36``)."""
+
+
+def sort_matches(matches, max_num_candidates: int | None = None):
+    """Sort matches ascending by score (best first).
+    Reference ``matchstrategy.h:48-55``."""
+    if max_num_candidates is None:
+        return sorted(matches, key=lambda m: m.score)
+    s = sorted(matches, key=lambda m: m.score)
+    return s  # partial sort is an optimization detail; full sort is a superset
+
+
+def _bucket(n: int, quantum: int = 64) -> int:
+    return max(quantum, -(-n // quantum) * quantum)
+
+
+@partial(jax.jit, static_argnames=("lmax",))
+def _make_candidates(tmpl_lines, tmpl_mask, tmpl_of_cand, cand_tmpl_line,
+                     cand_scene_line, scene, lmax):
+    """Build aligned-template candidates on device.
+
+    Inputs: padded template bank ``(T, lmax, 4)`` + mask; per *pair* indices
+    (template id, template line idx, scene line idx).  Each pair yields two
+    candidates (both alignment polarities).  Returns
+    ``(aligned (P,2,lmax,4), transforms (P,2,2,3), align_vecs (P,2))``.
+    """
+    t_line = tmpl_lines[tmpl_of_cand, cand_tmpl_line]   # (P, 4)
+    s_line = scene[cand_scene_line]                     # (P, 4)
+    align_vecs = geo.normalize(s_line)                  # (P, 2)
+    transforms = geo.align(t_line, s_line)              # (P, 2, 2, 3)
+    tl = tmpl_lines[tmpl_of_cand]                       # (P, lmax, 4)
+    aligned = geo.transform(tl[:, None, :, :], transforms[:, :, None, :, :])
+    return aligned, transforms, align_vecs
+
+
+def search(matcher, searcher, optimizer, featuremap: fm.Dt3Featuremap,
+           templates, scene) -> list:
+    """Find matches of ``templates`` in ``scene``.  Reference
+    ``defaultmatch.cpp:32-89``.  Returns an UNSORTED list of ``Match``."""
+    del matcher  # single strategy, kept for API parity
+    scene_arr = np.asarray(geo.as_lines(scene)) if np.asarray(scene).size else np.zeros((0, 4), np.float32)
+    tmpls = [np.asarray(geo.as_lines(t)) if np.asarray(t).size else np.zeros((0, 4), np.float32)
+             for t in templates]
+    if not tmpls or scene_arr.shape[0] == 0 or featuremap.feature_size == (0, 0):
+        return []
+
+    # --- host: combinations per template -------------------------------
+    pairs = []  # (tmpl_id, tmpl_line_idx, scene_line_idx)
+    for ti, t in enumerate(tmpls):
+        if t.shape[0] == 0:
+            continue
+        combos = establish_search_strategy(searcher, t, scene_arr)
+        for tl, sl in combos:
+            pairs.append((ti, tl, sl))
+    if not pairs:
+        return []
+    pairs = np.array(pairs, np.int32)
+    p = pairs.shape[0]
+
+    lmax = max(1, max(t.shape[0] for t in tmpls))
+    tbank = np.zeros((len(tmpls), lmax, 4), np.float32)
+    tmask = np.zeros((len(tmpls), lmax), bool)
+    for i, t in enumerate(tmpls):
+        tbank[i, : t.shape[0]] = t
+        tmask[i, : t.shape[0]] = True
+
+    # Pad pair count to a bucket to stabilize jit shapes.
+    pb = _bucket(p)
+    pad = pb - p
+    pairs_padded = np.concatenate([pairs, np.zeros((pad, 3), np.int32)])
+
+    aligned, transforms, align_vecs = _make_candidates(
+        jnp.asarray(tbank), jnp.asarray(tmask),
+        jnp.asarray(pairs_padded[:, 0]), jnp.asarray(pairs_padded[:, 1]),
+        jnp.asarray(pairs_padded[:, 2]), jnp.asarray(scene_arr), lmax)
+
+    # Flatten polarity: candidate order (pair0/pol0, pair0/pol1, pair1/pol0, ...)
+    # matching the reference's emplace order (defaultmatch.cpp:62-70).
+    c = 2 * pb
+    cand_lines = aligned.reshape(c, lmax, 4)
+    cand_mask = jnp.repeat(jnp.asarray(tmask)[jnp.asarray(pairs_padded[:, 0])], 2, axis=0)
+    cand_align = jnp.repeat(align_vecs, 2, axis=0)
+
+    mode, window = opt.optimizer_mode(optimizer)
+    w, h = featuremap.feature_size
+    dense_steps = (-(-max(w, h) // 64) * 64) if mode == "dense" else 1
+    d, ph, pw = featuremap.dt3.shape
+    scores, translations, valid = opt.optimize_candidates(
+        featuremap.dt3.reshape(-1), featuremap.angles, featuremap.scene_translation,
+        (ph, pw), featuremap.feature_size,
+        cand_lines, cand_mask, cand_align,
+        mode=mode, window=max(window, 1), dense_steps=dense_steps)
+
+    scores = np.asarray(scores)
+    translations = np.asarray(translations)
+    valid = np.asarray(valid)
+    transforms_np = np.asarray(transforms).reshape(c, 2, 3)
+
+    matches = []
+    for i in range(2 * p):
+        if not valid[i]:
+            continue
+        pair = pairs[i // 2]
+        # combine(translation, transform): translation applied after
+        # (defaultmatch.cpp:83-84).
+        mat = transforms_np[i].copy()
+        mat[:, 2] += translations[i]
+        matches.append(Match(int(pair[0]), float(scores[i]), mat))
+    return matches

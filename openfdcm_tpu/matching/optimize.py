@@ -1,0 +1,317 @@
+"""1D translation optimizers.
+
+The reference ships three sequential greedy line-searches
+(``src/optimizestrategies/{default,batch,indulgent}optimize.cpp``): walk away
+from the aligned position in unit steps of the rasterized alignment vector,
+break on the first worsening score, keep the best visited.
+
+TPU redesign: all candidates advance in lockstep through *windows* of steps
+evaluated as one batched gather; the per-candidate break/keep logic becomes
+vectorized mask algebra on the window scores (the visited set of the greedy
+walk is a computable prefix — see ``_chain_prefix``).  This reproduces the
+reference's visited sets, scores, and first-minimum tie-breaking exactly,
+while evaluating thousands of candidates per step instead of one.
+
+A fourth, TPU-native ``DenseOptimize`` evaluates the *entire* legal range and
+takes the global argmin — a strict superset of the greedy walks (scores can
+only improve); use it when reference-identical rankings are not required.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import geometry as geo
+from ..core import rasterize as ras
+from . import featuremap as fm
+
+_BIG = jnp.float32(3.0e38)
+
+
+# ---------------------------------------------------------------------------
+# Strategy configs (API parity with the reference constructors)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class DefaultOptimize:
+    """Greedy unit-step walk, break on first worsening score
+    (``defaultoptimize.cpp:15-69``).  The thread pool of the reference is
+    replaced by batched lockstep evaluation; ``window`` steps are scored per
+    device round-trip."""
+    window: int = 32
+
+
+@dataclasses.dataclass(frozen=True)
+class IndulgentOptimize:
+    """Reference ``indulgentoptimize.cpp``.  Its passthrough counter never
+    advances the step, so observable behavior equals DefaultOptimize except
+    that the negative walk's break chain restarts from the initial score
+    (the reference re-seeds scores with ``(0,0)`` before the negative loop,
+    ``indulgentoptimize.cpp:56-58``)."""
+    indulgent_number_of_passthroughs: int = 0
+    window: int = 32
+
+    def get_number_of_passthroughs(self) -> int:
+        return self.indulgent_number_of_passthroughs
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchOptimize:
+    """Greedy walk over batches of ``batch_size`` steps; keeps each batch's
+    argmin; breaks when a batch min worsens the last kept score or rises
+    within the batch (``batchoptimize.cpp:48-94``)."""
+    batch_size: int = 10
+
+    def get_batch_size(self) -> int:
+        return self.batch_size
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseOptimize:
+    """TPU-native: global argmin over the full legal translation range."""
+    max_steps: int | None = None  # None: bound by the canvas extent
+
+
+OptimizerLike = (DefaultOptimize, IndulgentOptimize, BatchOptimize, DenseOptimize)
+
+
+# ---------------------------------------------------------------------------
+# Core batched scoring
+# ---------------------------------------------------------------------------
+
+def _window_scores(dt3_flat, hw, slice_idx, endpoints, line_mask, scene_tr,
+                   rast, t0, sign, count):
+    """Scores of each candidate at multipliers ``sign*(t0 + i)``, i<count.
+
+    ``endpoints``: ``(C, L, 2, 2)`` aligned-template endpoints (no scene
+    translation).  Translation per step is computed as
+    ``scene_tr + m*rast`` *before* adding to endpoints, replicating the
+    reference's float op order (``dt3cpu.cpp:153``)."""
+    mult = (t0[:, None] + jnp.arange(count, dtype=jnp.float32)[None, :]) * sign  # (C,K)
+    trans = scene_tr + mult[..., None] * rast[:, None, :]                        # (C,K,2)
+    return fm.evaluate_batched(dt3_flat, hw, slice_idx, endpoints, line_mask, trans)
+
+
+def _chain_prefix(scores, prev_kept, valid):
+    """Greedy-walk window logic, vectorized.
+
+    Given window ``scores (C,K)``, the previous kept score ``prev_kept (C,)``
+    and per-step validity, compute for each candidate:
+      - ``k``: number of kept steps (prefix before the first ascent/invalid),
+      - ``wmin, wmin_idx``: first minimum over the kept prefix,
+      - ``new_prev``: last kept score (carry),
+      - ``ended``: whether the walk stopped inside this window.
+    """
+    c, k_win = scores.shape
+    prev = jnp.concatenate([prev_kept[:, None], scores[:, :-1]], axis=1)
+    ascent = scores > prev
+    stop = ascent | ~valid
+    any_stop = jnp.any(stop, axis=1)
+    k = jnp.where(any_stop, jnp.argmax(stop, axis=1), k_win)  # kept count
+
+    idx = jnp.arange(k_win)[None, :]
+    kept_mask = idx < k[:, None]
+    masked = jnp.where(kept_mask, scores, _BIG)
+    wmin = jnp.min(masked, axis=1)
+    wmin_idx = jnp.argmin(masked, axis=1)  # first occurrence
+    new_prev = jnp.where(k > 0, jnp.take_along_axis(
+        masked, jnp.maximum(k - 1, 0)[:, None], axis=1)[:, 0], prev_kept)
+    has_kept = k > 0
+    new_prev = jnp.where(has_kept, new_prev, prev_kept)
+    return k, wmin, wmin_idx, new_prev, any_stop
+
+
+def _greedy_walk(eval_window, t_limit, prev0, best0, best_mul0, sign, window):
+    """Lockstep greedy walk (Default/Indulgent semantics) for all candidates.
+
+    ``eval_window(t0) -> (C, window)`` scores at multipliers sign*(t0+i).
+    ``t_limit``: number of legal steps in this direction (trunc(|bound|)).
+    """
+    c = t_limit.shape[0]
+
+    def cond(state):
+        t0, prev, best, bmul, done = state
+        return jnp.any(~done)
+
+    def body(state):
+        t0, prev, best, bmul, done = state
+        scores = eval_window(t0)
+        idx = t0[:, None] + jnp.arange(window, dtype=jnp.float32)[None, :]
+        valid = (idx <= t_limit[:, None]) & ~done[:, None]
+        k, wmin, wmin_idx, new_prev, ended = _chain_prefix(scores, prev, valid)
+        improve = wmin < best
+        best = jnp.where(improve, wmin, best)
+        bmul = jnp.where(improve, sign * (t0 + wmin_idx.astype(jnp.float32)), bmul)
+        done = done | ended
+        return t0 + window, new_prev, best, bmul, done
+
+    t0 = jnp.ones(c, jnp.float32)
+    done = t_limit < 1
+    state = (t0, prev0, best0, best_mul0, done)
+    state = jax.lax.while_loop(cond, body, state)
+    _, prev, best, bmul, _ = state
+    return prev, best, bmul
+
+
+def _batch_walk(eval_window, t_limit, prev0, best0, best_mul0, sign, batch):
+    """Lockstep BatchOptimize walk (``batchoptimize.cpp:48-94``)."""
+    c = t_limit.shape[0]
+
+    def cond(state):
+        t0, prev, best, bmul, done = state
+        return jnp.any(~done)
+
+    def body(state):
+        t0, prev, best, bmul, done = state
+        scores = eval_window(t0)
+        idx = t0[:, None] + jnp.arange(batch, dtype=jnp.float32)[None, :]
+        valid = idx <= t_limit[:, None]
+        masked = jnp.where(valid, scores, _BIG)
+        bmin = jnp.min(masked, axis=1)
+        bargmin = jnp.argmin(masked, axis=1)
+        n_valid = jnp.sum(valid, axis=1)
+        last = jnp.take_along_axis(masked, jnp.maximum(n_valid - 1, 0)[:, None], axis=1)[:, 0]
+        active = ~done
+        keep = active & ~(bmin > prev)          # break *before* keeping
+        improve = keep & (bmin < best)
+        best = jnp.where(improve, bmin, best)
+        bmul = jnp.where(improve, sign * (t0 + bargmin.astype(jnp.float32)), bmul)
+        prev = jnp.where(keep, bmin, prev)
+        interior = keep & (bmin < last)         # break *after* keeping
+        exhausted = (t0 + batch) > t_limit
+        done = done | ~keep | interior | exhausted
+        return t0 + batch, prev, best, bmul, done
+
+    t0 = jnp.ones(c, jnp.float32)
+    done = t_limit < 1
+    state = (t0, prev0, best0, best_mul0, done)
+    state = jax.lax.while_loop(cond, body, state)
+    _, prev, best, bmul, _ = state
+    return prev, best, bmul
+
+
+# ---------------------------------------------------------------------------
+# Entry: optimize a batch of aligned candidates
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("hw", "feature_size", "mode", "window", "dense_steps"))
+def optimize_candidates(dt3_flat, angles, scene_tr, hw, feature_size,
+                        tmpl_lines, line_mask, align_vecs, *,
+                        mode: str, window: int, dense_steps: int):
+    """Optimize all candidates at once.
+
+    ``tmpl_lines``: ``(C, L, 4)`` aligned templates; ``line_mask``: ``(C, L)``;
+    ``align_vecs``: ``(C, 2)`` raw (unnormalized-step) alignment vectors.
+    Returns ``(scores, translations, valid)``.
+    """
+    c, l = line_mask.shape
+    # Null alignment vectors bail out before rasterization
+    # (defaultoptimize.cpp:20-24: relativelyEqual(|align|.sum(), 0)).
+    null_align = geo.relatively_equal(jnp.sum(jnp.abs(align_vecs), axis=-1), 0.0)
+    rast = ras.rasterize_vector(align_vecs)
+    neg, pos = fm.minmax_translation_raw(
+        tmpl_lines, rast, (float(feature_size[0]), float(feature_size[1])),
+        scene_tr, line_mask)
+    valid = jnp.isfinite(neg) & jnp.isfinite(pos) & ~null_align
+
+    theta = geo.get_angle(tmpl_lines)
+    slice_idx = fm.closest_orientation_idx(angles, theta)            # (C, L)
+    endpoints = tmpl_lines.reshape(c, l, 2, 2)
+    lm = line_mask.astype(jnp.float32)
+
+    # For invalid candidates run a 0-length walk.
+    t_pos = jnp.where(valid, jnp.trunc(jnp.where(valid, pos, 0.0)), 0.0)
+    t_neg = jnp.where(valid, jnp.trunc(jnp.where(valid, -neg, 0.0)), 0.0)
+    safe_rast = jnp.where(valid[:, None], rast, 0.0)
+
+    def eval_win(sign, count):
+        def f(t0):
+            return _window_scores(dt3_flat, hw, slice_idx, endpoints, lm,
+                                  scene_tr, safe_rast, t0, sign, count)
+        return f
+
+    s0 = _window_scores(dt3_flat, hw, slice_idx, endpoints, lm, scene_tr,
+                        safe_rast, jnp.zeros(c, jnp.float32), 1.0, 1)[:, 0]
+
+    if mode == "dense":
+        s = dense_steps
+        pos_scores = eval_win(1.0, s)(jnp.ones(c, jnp.float32))
+        neg_scores = eval_win(-1.0, s)(jnp.ones(c, jnp.float32))
+        steps = jnp.arange(1, s + 1, dtype=jnp.float32)[None, :]
+        pos_scores = jnp.where(steps <= t_pos[:, None], pos_scores, _BIG)
+        neg_scores = jnp.where(steps <= t_neg[:, None], neg_scores, _BIG)
+        allm = jnp.concatenate([s0[:, None], pos_scores, neg_scores], axis=1)
+        arg = jnp.argmin(allm, axis=1)
+        best = jnp.min(allm, axis=1)
+        mul = jnp.where(arg == 0, 0.0,
+                        jnp.where(arg <= s, arg.astype(jnp.float32),
+                                  -(arg - s).astype(jnp.float32)))
+    elif mode in ("default", "indulgent"):
+        prev, best, mul = _greedy_walk(eval_win(1.0, window), t_pos, s0, s0,
+                                       jnp.zeros(c, jnp.float32), 1.0, window)
+        neg_prev0 = s0 if mode == "indulgent" else prev
+        _, best, mul = _greedy_walk(eval_win(-1.0, window), t_neg, neg_prev0,
+                                    best, mul, -1.0, window)
+    elif mode == "batch":
+        prev, best, mul = _batch_walk(eval_win(1.0, window), t_pos, s0, s0,
+                                      jnp.zeros(c, jnp.float32), 1.0, window)
+        _, best, mul = _batch_walk(eval_win(-1.0, window), t_neg, prev,
+                                   best, mul, -1.0, window)
+    else:
+        raise ValueError(f"unknown mode {mode}")
+
+    translation = mul[:, None] * safe_rast
+    return best, translation, valid
+
+
+def optimizer_mode(optimizer) -> tuple[str, int]:
+    """(mode, window) for a strategy config."""
+    if isinstance(optimizer, DenseOptimize):
+        return "dense", 0
+    if isinstance(optimizer, BatchOptimize):
+        return "batch", optimizer.batch_size
+    if isinstance(optimizer, IndulgentOptimize):
+        return "indulgent", optimizer.window
+    if isinstance(optimizer, DefaultOptimize):
+        return "default", optimizer.window
+    raise TypeError(f"unknown optimizer {optimizer!r}")
+
+
+def optimize(optimizer, templates, alignments, featuremap: fm.Dt3Featuremap):
+    """Reference-shaped entry (``optimizestrategy.h:132``): list of aligned
+    templates + alignment vectors -> list of ``None | (score, translation)``."""
+    import numpy as np
+    if not templates:
+        return []
+    if featuremap.feature_size == (0, 0):
+        return [None] * len(templates)
+    lmax = max(max(geo.as_lines(t).shape[0] for t in templates), 1)
+    lmax = -(-lmax // 4) * 4           # bucket shapes for jit-cache reuse
+    c = len(templates)
+    cb = -(-c // 8) * 8
+    lines = np.zeros((cb, lmax, 4), np.float32)
+    mask = np.zeros((cb, lmax), bool)
+    for i, t in enumerate(templates):
+        arr = np.asarray(geo.as_lines(t))
+        lines[i, :arr.shape[0]] = arr
+        mask[i, :arr.shape[0]] = True
+    av = np.zeros((cb, 2), np.float32)
+    av[:c] = np.asarray(alignments, np.float32).reshape(c, 2)
+
+    mode, window = optimizer_mode(optimizer)
+    w, h = featuremap.feature_size
+    dense_steps = (-(-max(w, h) // 64) * 64) if mode == "dense" else 1
+    d, ph, pw = featuremap.dt3.shape
+    scores, trans, valid = optimize_candidates(
+        featuremap.dt3.reshape(-1), featuremap.angles, featuremap.scene_translation,
+        (ph, pw), featuremap.feature_size,
+        jnp.asarray(lines), jnp.asarray(mask), jnp.asarray(av),
+        mode=mode, window=max(window, 1), dense_steps=dense_steps)
+    scores = np.asarray(scores); trans = np.asarray(trans); valid = np.asarray(valid)
+    return [
+        (float(scores[i]), trans[i].copy()) if valid[i] else None
+        for i in range(c)
+    ]

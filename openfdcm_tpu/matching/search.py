@@ -1,0 +1,122 @@
+"""Search strategies: which (template line, scene line) pairs to try.
+
+Host-side candidate generation (cheap integer/sort work on host data),
+mirroring reference ``src/searchstrategies/{defaultsearch,concentricrange}.cpp``.
+Returns numpy index arrays consumed by the batched device pipeline.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+_F32_EPS = np.float32(1.1920929e-07)
+
+
+@dataclasses.dataclass(frozen=True)
+class DefaultSearch:
+    """Each of the N longest template lines is paired with a window of the
+    M closest-in-length scene lines (``defaultsearch.cpp:29-49``)."""
+    max_tmpl_lines: int
+    max_scene_lines: int
+
+    def get_max_tmpl_lines(self): return self.max_tmpl_lines
+    def get_max_scene_lines(self): return self.max_scene_lines
+
+
+@dataclasses.dataclass(frozen=True)
+class ConcentricRangeStrategy:
+    """DefaultSearch restricted to scene lines whose centers fall in a
+    radius annulus around ``center_position`` (``concentricrange.cpp:29-60``)."""
+    max_tmpl_lines: int
+    max_scene_lines: int
+    center_position: tuple
+    low_boundary: float
+    high_boundary: float
+
+    def get_max_tmpl_lines(self): return self.max_tmpl_lines
+    def get_max_scene_lines(self): return self.max_scene_lines
+    def get_center_position(self): return self.center_position
+    def get_low_radius_boundary(self): return self.low_boundary
+    def get_high_radius_boundary(self): return self.high_boundary
+
+
+def get_centered_range(center_idx: int, vec_size: int, max_length: int):
+    """Reference ``defaultsearch.h:40-47``."""
+    begin = max(0, int(center_idx) - int(max_length // 2))
+    end = min(begin + max_length, vec_size)
+    begin = max(0, end - max_length)
+    return begin, end
+
+
+def _lengths(lines: np.ndarray) -> np.ndarray:
+    d = lines[:, 2:4] - lines[:, 0:2]
+    return np.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2).astype(np.float32)
+
+
+def _closest_desc(sorted_desc: np.ndarray, value: float) -> int:
+    """binarySearch on a descending array with std::greater
+    (reference ``core/math.h:137-146``): lower_bound = first elem <= value,
+    then pick the closer of it and its predecessor (ties to predecessor)."""
+    n = len(sorted_desc)
+    i = int(np.searchsorted(-sorted_desc, -np.float32(value), side="left"))
+    if i == 0:
+        return 0
+    if i == n:
+        return n - 1
+    return i if abs(value - sorted_desc[i]) < abs(value - sorted_desc[i - 1]) else i - 1
+
+
+def _pair_by_length(tmpl_lengths, scene_lengths, scene_ids, max_tmpl, max_scene):
+    """Shared core of both strategies.  ``scene_ids`` maps the filtered/sorted
+    scene order back to original indices."""
+    order_t = np.argsort(-tmpl_lengths, kind="stable")
+    order_s = np.argsort(-scene_lengths, kind="stable")
+    sorted_scene_len = scene_lengths[order_s]
+    out = []
+    for t in order_t[: min(len(tmpl_lengths), max_tmpl)]:
+        c = _closest_desc(sorted_scene_len, tmpl_lengths[t])
+        b, e = get_centered_range(c, len(sorted_scene_len), max_scene)
+        for i in range(b, e):
+            out.append((int(t), int(scene_ids[order_s[i]])))
+    return np.array(out, np.int64).reshape(-1, 2)
+
+
+def establish_search_strategy(strategy, tmpl_lines, scene_lines) -> np.ndarray:
+    """Returns ``(M, 2)`` array of (tmpl_line_idx, scene_line_idx)."""
+    from ..core import geometry as geo
+    tmpl = np.asarray(geo.as_lines(tmpl_lines))
+    scene = np.asarray(geo.as_lines(scene_lines))
+    if tmpl.shape[0] == 0 or scene.shape[0] == 0:
+        return np.zeros((0, 2), np.int64)
+
+    if isinstance(strategy, ConcentricRangeStrategy):
+        centers = (scene[:, 0:2] + scene[:, 2:4]) / 2
+        cp = np.asarray(strategy.center_position, np.float32)
+        radius = np.sqrt(((centers - cp) ** 2).sum(axis=1)).astype(np.float32)
+        keep = (radius > (np.float32(strategy.low_boundary) - _F32_EPS)) & \
+               (radius < np.float32(strategy.high_boundary))
+        ids = np.nonzero(keep)[0]
+        if len(ids) == 0:
+            return np.zeros((0, 2), np.int64)
+        return _pair_by_length(_lengths(tmpl), _lengths(scene[ids]), ids,
+                               strategy.max_tmpl_lines, strategy.max_scene_lines)
+
+    if isinstance(strategy, DefaultSearch):
+        n = scene.shape[0]
+        return _pair_by_length(_lengths(tmpl), _lengths(scene), np.arange(n),
+                               strategy.max_tmpl_lines, strategy.max_scene_lines)
+
+    raise TypeError(f"unknown search strategy {strategy!r}")
+
+
+def filter_in_range(lines, center_position, min_radius, max_radius):
+    """Reference ``concentricrange.h:73-84``: indices of lines whose centers
+    fall in ``(min_radius - eps, max_radius)``."""
+    from ..core import geometry as geo
+    arr = np.asarray(geo.as_lines(lines))
+    centers = (arr[:, 0:2] + arr[:, 2:4]) / 2
+    cp = np.asarray(center_position, np.float32)
+    radius = np.sqrt(((centers - cp) ** 2).sum(axis=1)).astype(np.float32)
+    keep = (radius > (np.float32(min_radius) - _F32_EPS)) & (radius < np.float32(max_radius))
+    return list(np.nonzero(keep)[0])

@@ -189,10 +189,11 @@ def test_build_featuremap_metrics(metric):
 
 
 def test_build_featuremap_padded_physical_canvas_matches():
-    """Physical tile padding must not change logical values."""
-    scene = np.array([[2, 0, 5, 0], [1, 1, 4, 3]], np.float32)
-    fm0 = fmap.build_featuremap(scene, fmap.Dt3Params(4, 1.0, 2.0))
-    fm1 = fmap.build_featuremap(scene, fmap.Dt3Params(4, 1.0, 2.0), pad_to=16)
+    """Physical tile padding must not change logical values — including for
+    flipped sweeps with non-trivial shear (depth=6 covers those angles)."""
+    scene = np.array([[2, 0, 5, 0], [1, 1, 4, 3], [0, 4, 3, 0]], np.float32)
+    fm0 = fmap.build_featuremap(scene, fmap.Dt3Params(6, 1.0, 2.0), pad_to=None)
+    fm1 = fmap.build_featuremap(scene, fmap.Dt3Params(6, 1.0, 2.0), pad_to=16)
     w, h = fm0.feature_size
     assert fm1.feature_size == (w, h)
     assert np.allclose(np.asarray(fm0.dt3), np.asarray(fm1.dt3)[:, :h, :w], atol=1e-5)
