@@ -163,7 +163,8 @@ def test_build_featuremap_precision_pinned():
     fm = fmap.build_featuremap(scene, fmap.Dt3Params(4, 1.0, 2.0))
     theta = 0.0
     o = int(np.asarray(fmap.closest_orientation_idx(fm.angles, theta)))
-    row = np.asarray(fm.dt3[o][fm.dt3.shape[1] // 2])
+    w, h = fm.feature_size
+    row = np.asarray(fm.dt3[o][h // 2, :w])
     assert np.allclose(row, [2, 3, 3, 3, 3, 3, 4], atol=1e-5)
 
 
@@ -171,7 +172,8 @@ def test_build_featuremap_precision_scaled():
     scene = np.array([[4, 0, 10, 0]], np.float32)
     fm = fmap.build_featuremap(scene, fmap.Dt3Params(4, 1.0, 2.0))
     o = int(np.asarray(fmap.closest_orientation_idx(fm.angles, 0.0)))
-    row = np.asarray(fm.dt3[o][fm.dt3.shape[1] // 2])
+    w, h = fm.feature_size
+    row = np.asarray(fm.dt3[o][h // 2, :w])
     assert np.allclose(row, [3, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7, 9, 12], atol=1e-5)
 
 
