@@ -16,19 +16,29 @@ from . import geometry as geo
 from . import rasterize as ras
 
 
-@partial(jax.jit, static_argnames=("height", "width", "max_points"))
-def seed_points(lines: jax.Array, height: int, width: int, max_points: int
-                ) -> tuple[jax.Array, jax.Array]:
-    """Clip lines to the image box and rasterize to integer seed pixels.
+@partial(jax.jit, static_argnames=("max_points",))
+def seed_points_box(lines: jax.Array, box: jax.Array, max_points: int
+                    ) -> tuple[jax.Array, jax.Array]:
+    """Clip lines to a (traced) box and rasterize to integer seed pixels.
 
-    Mirrors the clip+rasterize steps of ``drawLines`` (``drawing.h:116-123``):
-    clip box is ``(0, W-1, 0, H-1)``.
+    Mirrors the clip+rasterize steps of ``drawLines`` (``drawing.h:116-123``).
+    ``box``: ``(xmin, xmax, ymin, ymax)`` float array (traced, so differing
+    canvas sizes share one compilation).
 
-    Returns ``(points[N*max_points, 2] int32 (x, y), mask[N*max_points])``.
+    Returns ``(points[N, max_points, 2] int32 (x, y), mask[N, max_points])``.
     """
-    clipped, keep = ras.clip_lines_masked(lines, (0.0, float(width - 1), 0.0, float(height - 1)))
+    clipped, keep = ras.clip_lines_masked_dyn(lines, box)
     pts, pmask = ras.rasterize_lines_masked(clipped, max_points)
     mask = pmask & keep[:, None]
+    return pts, mask
+
+
+def seed_points(lines: jax.Array, height: int, width: int, max_points: int
+                ) -> tuple[jax.Array, jax.Array]:
+    """Static-shape convenience wrapper around :func:`seed_points_box`,
+    returning flattened ``(N*max_points, 2)`` points + mask."""
+    box = jnp.asarray([0.0, float(width - 1), 0.0, float(height - 1)], jnp.float32)
+    pts, mask = seed_points_box(lines, box, max_points)
     return pts.reshape(-1, 2), mask.reshape(-1)
 
 

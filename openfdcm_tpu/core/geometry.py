@@ -86,9 +86,24 @@ def get_length(lines: jax.Array) -> jax.Array:
 
 
 def get_template_lengths(templates) -> list:
-    """Total line length per template.  Reference ``core/math.h:319-324``."""
-    return [float(jnp.sum(get_length(as_lines(t)))) if as_lines(t).shape[0] else 0.0
-            for t in templates]
+    """Total line length per template.  Reference ``core/math.h:319-324``.
+
+    Host-side (numpy): template metadata lives on host and this is called
+    once per search; no reason to pay device dispatch per template.
+    """
+    import numpy as np
+    out = []
+    for t in templates:
+        arr = np.asarray(t, dtype=np.float32)
+        if arr.ndim == 2 and arr.shape[0] == 4 and arr.shape[1] != 4:
+            arr = arr.T
+        arr = arr.reshape(-1, 4)
+        if arr.shape[0] == 0:
+            out.append(0.0)
+            continue
+        d = arr[:, 2:4] - arr[:, 0:2]
+        out.append(float(np.sum(np.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2), dtype=np.float32)))
+    return out
 
 
 @jax.jit

@@ -88,6 +88,12 @@ def _clip_one_endpoint(px, py, qx, qy, code, box):
 
 @partial(jax.jit, static_argnums=(1,))
 def clip_lines_masked(lines: jax.Array, box) -> tuple[jax.Array, jax.Array]:
+    """Static-box wrapper around :func:`clip_lines_masked_dyn`."""
+    return clip_lines_masked_dyn(lines, jnp.asarray(box, jnp.float32))
+
+
+@jax.jit
+def clip_lines_masked_dyn(lines: jax.Array, box: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Cohen–Sutherland clip of ``(N, 4)`` lines against ``box=(xmin,xmax,ymin,ymax)``.
 
     Returns ``(clipped_lines, keep_mask)``.  Lines fully outside get

@@ -144,41 +144,52 @@ def make_angles(depth: int) -> np.ndarray:
 # Orientation propagation — reference dt3cpu.cpp:77-107
 # ---------------------------------------------------------------------------
 
-def propagation_schedule(angles: np.ndarray, coeff: float):
-    """Static (c1, c2, addend) schedule for the 1.5-cycle circular min pass."""
+def propagation_weights(angles: np.ndarray, coeff: float) -> np.ndarray:
+    """Closed-form circular propagation weights ``Wmat[src, dst]``.
+
+    The reference's 1.5-cycle forward + backward relaxation
+    (``dt3cpu.cpp:77-107``) computes, exactly, the min-plus closure over the
+    cyclic slice graph with adjacent weights
+    ``coeff * min(|da|, |da - pi|)``.  ``Wmat[src, dst]`` is the cheaper of
+    the clockwise / counter-clockwise cumulative step sums (f32, sequential
+    accumulation like the reference's repeated adds — equal to within f32
+    rounding of the step order).
+    """
     m = len(angles)
-    fwd_end = int(math.ceil(1.5 * m))
-    bwd_end = -int(math.floor(1.5 * m))
-    steps = []
-    for c in range(0, fwd_end, 1):
-        c1 = (m + ((c - 1) % m)) % m
-        c2 = (m + (c % m)) % m
-        steps.append((c1, c2))
-    c = m
-    while c != bwd_end:
-        c1 = (m + ((c + 1) % m)) % m
-        c2 = (m + (c % m)) % m
-        steps.append((c1, c2))
-        c -= 1
-    c1s = np.array([s[0] for s in steps], np.int32)
-    c2s = np.array([s[1] for s in steps], np.int32)
-    a = angles[c1s].astype(np.float32)
-    b = angles[c2s].astype(np.float32)
-    h = np.abs(a - b).astype(np.float32)
-    min_h = np.minimum(h, np.abs(h - np.float32(math.pi))).astype(np.float32)
-    addend = (np.float32(coeff) * min_h).astype(np.float32)
-    return c1s, c2s, addend
+    a = np.asarray(angles, np.float32)
+    step_fwd = np.empty(m, np.float32)  # weight of edge j -> (j+1) % m
+    for j in range(m):
+        h = np.abs(np.float32(a[j]) - np.float32(a[(j + 1) % m]))
+        step_fwd[j] = np.float32(coeff) * np.minimum(h, np.abs(h - np.float32(math.pi)))
+    wmat = np.zeros((m, m), np.float32)
+    for src in range(m):
+        cw = np.float32(0)
+        cws = np.zeros(m, np.float32)
+        for k in range(1, m):
+            cw = np.float32(cw + step_fwd[(src + k - 1) % m])
+            cws[(src + k) % m] = cw
+        ccw = np.float32(0)
+        ccws = np.zeros(m, np.float32)
+        for k in range(1, m):
+            ccw = np.float32(ccw + step_fwd[(src - k) % m])
+            ccws[(src - k) % m] = ccw
+        full = np.minimum(cws, ccws)
+        full[src] = 0.0
+        wmat[src] = full
+    return wmat
 
 
 @jax.jit
-def propagate_orientation(dt3: jax.Array, c1s: jax.Array, c2s: jax.Array,
-                          addend: jax.Array) -> jax.Array:
-    """Sequential circular min-plus propagation over the depth axis."""
-    def body(i, vol):
-        src = vol[c1s[i]] + addend[i]
-        dst = jnp.minimum(vol[c2s[i]], src)
-        return vol.at[c2s[i]].set(dst)
-    return jax.lax.fori_loop(0, c1s.shape[0], body, dt3)
+def propagate_orientation(dt3: jax.Array, wmat: jax.Array) -> jax.Array:
+    """Min-plus propagation across the orientation axis:
+    ``out[s] = min_src dt3[src] + wmat[src, s]`` — a scan over sources with a
+    running elementwise min (memory-bound, no sequential slice updates)."""
+    def step(carry, inp):
+        src_img, w_row = inp  # (H, W), (m,)
+        return jnp.minimum(carry, src_img[None] + w_row[:, None, None]), None
+    init = jnp.full_like(dt3, jnp.inf)
+    out, _ = jax.lax.scan(step, init, (dt3, wmat))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -216,23 +227,46 @@ def build_featuremap(scene, params: Dt3Params = Dt3Params(),
     else:
         ph, pw = h, w
 
-    # Group lines per slice, pad to the max group size.
-    groups = [np.nonzero(slice_of_line == s)[0] for s in range(params.depth)]
-    gmax = max(1, max(len(g) for g in groups))
-    line_idx = np.zeros((params.depth, gmax), np.int32)
-    line_valid = np.zeros((params.depth, gmax), bool)
-    for s, g in enumerate(groups):
-        line_idx[s, : len(g)] = g
-        line_valid[s, : len(g)] = True
+    # Rasterize all scene lines once on device (bucketed shapes), then
+    # compact the seed pixels per orientation slice on host: the per-slice
+    # seed arrays drive the DT kernel, and tight packing matters — padded
+    # dummy seeds cost as much as real ones.
+    n_real = translated.shape[0]
+    n_bucket = -(-n_real // 128) * 128
+    tpad = np.concatenate(
+        [translated, np.zeros((n_bucket - n_real, 4), np.float32)])
+    ext = np.abs(translated[:, 2:4] - translated[:, 0:2])
+    longest = float(np.max(np.minimum(np.max(ext, axis=1), math.hypot(w, h)))) if len(ext) else 1.0
+    max_points = -(-(int(longest) + 2) // 32) * 32
+    box = jnp.asarray([0.0, float(w - 1), 0.0, float(h - 1)], jnp.float32)
+    pts, pmask = draw.seed_points_box(jnp.asarray(tpad), box, max_points)
+    pts = np.asarray(pts)[:n_real]          # (N, max_points, 2)
+    pmask = np.asarray(pmask)[:n_real]
 
-    max_points = -(-(int(math.hypot(w, h)) + 2) // 64) * 64
+    counts = pmask.sum(axis=1)
+    slice_counts = np.zeros(params.depth, np.int64)
+    for i in range(n_real):
+        slice_counts[slice_of_line[i]] += counts[i]
+    smax = -(-max(1, int(slice_counts.max())) // 64) * 64
+    seeds = np.zeros((params.depth, smax, 2), np.int32)
+    seed_mask = np.zeros((params.depth, smax), bool)
+    fill = np.zeros(params.depth, np.int64)
+    for i in range(n_real):
+        s = slice_of_line[i]
+        k = int(counts[i])
+        if k == 0:
+            continue
+        seeds[s, fill[s]: fill[s] + k] = pts[i][pmask[i]]
+        seed_mask[s, fill[s]: fill[s] + k] = True
+        fill[s] += k
+
     dt3 = _build_dt_stack(
-        jnp.asarray(translated), jnp.asarray(line_idx), jnp.asarray(line_valid),
-        height=h, width=w, phys_h=ph, phys_w=pw,
-        metric=params.distance, max_points=max_points)
+        jnp.asarray(seeds), jnp.asarray(seed_mask),
+        jnp.asarray([h, w], jnp.int32),
+        phys_h=ph, phys_w=pw, metric=params.distance)
 
-    c1s, c2s, addend = propagation_schedule(angles, params.dt3_coeff)
-    dt3 = propagate_orientation(dt3, jnp.asarray(c1s), jnp.asarray(c2s), jnp.asarray(addend))
+    wmat = propagation_weights(angles, params.dt3_coeff)
+    dt3 = propagate_orientation(dt3, jnp.asarray(wmat))
 
     dt3 = integral.line_integral_stack(dt3, list(angles), logical_hw=(h, w))
 
@@ -245,20 +279,19 @@ def build_featuremap(scene, params: Dt3Params = Dt3Params(),
     )
 
 
-@partial(jax.jit, static_argnames=("height", "width", "phys_h", "phys_w", "metric", "max_points"))
-def _build_dt_stack(lines, line_idx, line_valid, *, height, width, phys_h, phys_w,
-                    metric, max_points):
-    """Per-slice DT: vmapped seed-min over each slice's line group."""
-    def one_slice(idx, valid):
-        group = lines[idx]  # (G, 4)
-        pts, mask = draw.seed_points(group, height, width, max_points)
-        mask = mask & jnp.repeat(valid, max_points)
-        img = distance_from_seeds(pts, mask, height=height, width=width, metric=metric)
-        if (phys_h, phys_w) != (height, width):
-            img = jnp.pad(img, ((0, phys_h - height), (0, phys_w - width)))
-        return img
+@partial(jax.jit, static_argnames=("phys_h", "phys_w", "metric"))
+def _build_dt_stack(seeds, seed_mask, logical_hw, *, phys_h, phys_w, metric):
+    """Per-slice DT: vmapped seed-min on the physical grid; the physical
+    padding beyond the (traced) logical region is zeroed so downstream
+    integrals see zero contributions there."""
+    def one_slice(pts, mask):
+        return distance_from_seeds(pts, mask, height=phys_h, width=phys_w, metric=metric)
 
-    return jax.vmap(one_slice)(line_idx, line_valid)
+    dt3 = jax.vmap(one_slice)(seeds, seed_mask)
+    ys = jnp.arange(phys_h)[:, None]
+    xs = jnp.arange(phys_w)[None, :]
+    logical = (ys < logical_hw[0]) & (xs < logical_hw[1])
+    return jnp.where(logical[None], dt3, 0.0)
 
 
 # ---------------------------------------------------------------------------

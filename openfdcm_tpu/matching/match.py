@@ -104,15 +104,18 @@ def search(matcher, searcher, optimizer, featuremap: fm.Dt3Featuremap,
         tbank[i, : t.shape[0]] = t
         tmask[i, : t.shape[0]] = True
 
-    # Pad pair count to a bucket to stabilize jit shapes.
+    # Pad pair count and the scene array to buckets to stabilize jit shapes.
     pb = _bucket(p)
     pad = pb - p
     pairs_padded = np.concatenate([pairs, np.zeros((pad, 3), np.int32)])
+    sb = _bucket(scene_arr.shape[0], 128)
+    scene_padded = np.concatenate(
+        [scene_arr, np.zeros((sb - scene_arr.shape[0], 4), np.float32)])
 
     aligned, transforms, align_vecs = _make_candidates(
         jnp.asarray(tbank), jnp.asarray(tmask),
         jnp.asarray(pairs_padded[:, 0]), jnp.asarray(pairs_padded[:, 1]),
-        jnp.asarray(pairs_padded[:, 2]), jnp.asarray(scene_arr), lmax)
+        jnp.asarray(pairs_padded[:, 2]), jnp.asarray(scene_padded), lmax)
 
     # Flatten polarity: candidate order (pair0/pol0, pair0/pol1, pair1/pol0, ...)
     # matching the reference's emplace order (defaultmatch.cpp:62-70).
@@ -127,7 +130,7 @@ def search(matcher, searcher, optimizer, featuremap: fm.Dt3Featuremap,
     d, ph, pw = featuremap.dt3.shape
     scores, translations, valid = opt.optimize_candidates(
         featuremap.dt3.reshape(-1), featuremap.angles, featuremap.scene_translation,
-        (ph, pw), featuremap.feature_size,
+        (ph, pw), jnp.asarray([float(w), float(h)], jnp.float32),
         cand_lines, cand_mask, cand_align,
         mode=mode, window=max(window, 1), dense_steps=dense_steps)
 

@@ -197,7 +197,7 @@ def _batch_walk(eval_window, t_limit, prev0, best0, best_mul0, sign, batch):
 # Entry: optimize a batch of aligned candidates
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("hw", "feature_size", "mode", "window", "dense_steps"))
+@partial(jax.jit, static_argnames=("hw", "mode", "window", "dense_steps"))
 def optimize_candidates(dt3_flat, angles, scene_tr, hw, feature_size,
                         tmpl_lines, line_mask, align_vecs, *,
                         mode: str, window: int, dense_steps: int):
@@ -205,6 +205,8 @@ def optimize_candidates(dt3_flat, angles, scene_tr, hw, feature_size,
 
     ``tmpl_lines``: ``(C, L, 4)`` aligned templates; ``line_mask``: ``(C, L)``;
     ``align_vecs``: ``(C, 2)`` raw (unnormalized-step) alignment vectors.
+    ``feature_size``: traced ``(w, h)`` float array (logical canvas), so
+    scenes of different sizes share one compilation per physical bucket.
     Returns ``(scores, translations, valid)``.
     """
     c, l = line_mask.shape
@@ -213,8 +215,7 @@ def optimize_candidates(dt3_flat, angles, scene_tr, hw, feature_size,
     null_align = geo.relatively_equal(jnp.sum(jnp.abs(align_vecs), axis=-1), 0.0)
     rast = ras.rasterize_vector(align_vecs)
     neg, pos = fm.minmax_translation_raw(
-        tmpl_lines, rast, (float(feature_size[0]), float(feature_size[1])),
-        scene_tr, line_mask)
+        tmpl_lines, rast, feature_size, scene_tr, line_mask)
     valid = jnp.isfinite(neg) & jnp.isfinite(pos) & ~null_align
 
     theta = geo.get_angle(tmpl_lines)
@@ -237,18 +238,26 @@ def optimize_candidates(dt3_flat, angles, scene_tr, hw, feature_size,
                         safe_rast, jnp.zeros(c, jnp.float32), 1.0, 1)[:, 0]
 
     if mode == "dense":
-        s = dense_steps
-        pos_scores = eval_win(1.0, s)(jnp.ones(c, jnp.float32))
-        neg_scores = eval_win(-1.0, s)(jnp.ones(c, jnp.float32))
-        steps = jnp.arange(1, s + 1, dtype=jnp.float32)[None, :]
-        pos_scores = jnp.where(steps <= t_pos[:, None], pos_scores, _BIG)
-        neg_scores = jnp.where(steps <= t_neg[:, None], neg_scores, _BIG)
-        allm = jnp.concatenate([s0[:, None], pos_scores, neg_scores], axis=1)
-        arg = jnp.argmin(allm, axis=1)
-        best = jnp.min(allm, axis=1)
-        mul = jnp.where(arg == 0, 0.0,
-                        jnp.where(arg <= s, arg.astype(jnp.float32),
-                                  -(arg - s).astype(jnp.float32)))
+        win = 64
+        best, mul = s0, jnp.zeros(c, jnp.float32)
+        for sign, t_lim in ((1.0, t_pos), (-1.0, t_neg)):
+            ew = eval_win(sign, win)
+
+            def body(i, state, ew=ew, sign=sign, t_lim=t_lim):
+                best, mul = state
+                t0 = 1.0 + i.astype(jnp.float32) * win
+                scores = ew(jnp.full((c,), t0, jnp.float32))
+                steps = t0 + jnp.arange(win, dtype=jnp.float32)[None, :]
+                scores = jnp.where(steps <= t_lim[:, None], scores, _BIG)
+                wmin = jnp.min(scores, axis=1)
+                warg = jnp.argmin(scores, axis=1).astype(jnp.float32)
+                better = wmin < best
+                best = jnp.where(better, wmin, best)
+                mul = jnp.where(better, sign * (t0 + warg), mul)
+                return best, mul
+
+            n_win = -(-dense_steps // win)
+            best, mul = jax.lax.fori_loop(0, n_win, body, (best, mul))
     elif mode in ("default", "indulgent"):
         prev, best, mul = _greedy_walk(eval_win(1.0, window), t_pos, s0, s0,
                                        jnp.zeros(c, jnp.float32), 1.0, window)
@@ -307,7 +316,7 @@ def optimize(optimizer, templates, alignments, featuremap: fm.Dt3Featuremap):
     d, ph, pw = featuremap.dt3.shape
     scores, trans, valid = optimize_candidates(
         featuremap.dt3.reshape(-1), featuremap.angles, featuremap.scene_translation,
-        (ph, pw), featuremap.feature_size,
+        (ph, pw), jnp.asarray([float(w), float(h)], jnp.float32),
         jnp.asarray(lines), jnp.asarray(mask), jnp.asarray(av),
         mode=mode, window=max(window, 1), dense_steps=dense_steps)
     scores = np.asarray(scores); trans = np.asarray(trans); valid = np.asarray(valid)

@@ -1,0 +1,68 @@
+"""Stage-by-stage timing of the pose-estimation benchmark pipeline on the
+current JAX backend (TPU when available).  Development tool; the official
+benchmark is /root/repo/bench.py."""
+import glob
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import openfdcm_tpu as of
+
+ASSETS = "/root/reference/notebooks/assets"
+
+
+def load_object(obj="obj_01"):
+    templates = [of.read(p) for p in sorted(glob.glob(f"{ASSETS}/{obj}/templates/*.tmpl"))]
+    scenes = [of.read(p) for p in sorted(glob.glob(f"{ASSETS}/{obj}/scene_*/camera_0.scene"))]
+    return templates, scenes
+
+
+def run_scene(scene, templates, optimizer, params):
+    t0 = time.perf_counter()
+    fm = of.build_featuremap(scene, params, pad_to=128)
+    fm.dt3.block_until_ready()
+    t1 = time.perf_counter()
+    matches = of.search(of.DefaultMatch(), of.DefaultSearch(4, 10), optimizer, fm, templates, scene)
+    t2 = time.perf_counter()
+    pen = of.penalize(of.ExponentialPenalty(1.5), matches, of.get_template_lengths(templates))
+    best = of.sort_matches(pen)
+    t3 = time.perf_counter()
+    return (t1 - t0, t2 - t1, t3 - t2), best
+
+
+def main():
+    import jax
+    print("backend:", jax.default_backend(), jax.devices())
+    templates, scenes = load_object("obj_01")
+    print(f"{len(templates)} templates, {len(scenes)} scenes")
+    params = of.Dt3Params(30, 5.0, 1.0, of.Distance.L2)
+    opt_name = sys.argv[1] if len(sys.argv) > 1 else "batch"
+    optimizer = {"batch": of.BatchOptimize(10), "dense": of.DenseOptimize(),
+                 "default": of.DefaultOptimize()}[opt_name]
+    print("optimizer:", optimizer)
+
+    # warmup/compile on scene 0
+    t0 = time.perf_counter()
+    times, best = run_scene(scenes[0], templates, optimizer, params)
+    print(f"warmup (compile): {time.perf_counter()-t0:.1f}s  stages={times}")
+    print("best:", best[0].tmpl_idx, best[0].score, best[0].transform[:, 2])
+
+    total = {"build": 0.0, "search": 0.0, "post": 0.0}
+    n = 0
+    t_start = time.perf_counter()
+    for s in scenes[1:6]:
+        (b, se, po), best = run_scene(s, templates, optimizer, params)
+        total["build"] += b; total["search"] += se; total["post"] += po; n += 1
+        print(f"scene: build={b*1e3:.1f}ms search={se*1e3:.1f}ms post={po*1e3:.1f}ms "
+              f"best={best[0].tmpl_idx} score={best[0].score:.5f}")
+    wall = time.perf_counter() - t_start
+    print(f"avg per scene: build={total['build']/n*1e3:.1f}ms search={total['search']/n*1e3:.1f}ms "
+          f"post={total['post']/n*1e3:.1f}ms  -> {n/wall:.2f} scenes/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -127,9 +127,8 @@ def test_propagate_orientation_closed_form():
     from openfdcm_tpu.core import dt as dtmod
     img = dtmod.distance_transform(np.array([[0, 0, 0, 39]], np.float32), (w, h))
     stack = jnp.stack([img] + [jnp.full((h, w), jnp.inf, jnp.float32)] * 3)
-    c1s, c2s, add = fmap.propagation_schedule(angles, coeff)
-    out = np.asarray(fmap.propagate_orientation(stack, jnp.asarray(c1s), jnp.asarray(c2s),
-                                                jnp.asarray(add)))
+    wmat = fmap.propagation_weights(angles, coeff)
+    out = np.asarray(fmap.propagate_orientation(stack, jnp.asarray(wmat)))
     d1 = out[0][0, 29]
     assert d1 == 29.0
     for k in range(4):
