@@ -1,0 +1,72 @@
+"""Official benchmark: the reference's headline workload.
+
+Pose-estimation pipeline from the reference notebook
+(``/root/reference/notebooks/pose_extimation_example.ipynb`` cell 13):
+per scene, build the DT3 feature map (depth=30, L2, padding=1.0) and run
+``search`` with DefaultSearch(4, 10) + BatchOptimize(10) over the full
+template bank, then penalize + sort.  The reference reports 22 FPS (45 ms
+per scene) on an Intel i7-14700 — that is ``vs_baseline``'s denominator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import glob
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_SCENES_PER_S = 22.0
+ASSETS = "/root/reference/notebooks/assets"
+
+
+def main():
+    import openfdcm_tpu as of
+
+    obj = "obj_01"
+    templates = [of.read(p) for p in sorted(glob.glob(f"{ASSETS}/{obj}/templates/*.tmpl"))]
+    scene_paths = sorted(glob.glob(f"{ASSETS}/{obj}/scene_*/camera_0.scene"))
+    scenes = [of.read(p) for p in scene_paths]
+    if not templates or not scenes:
+        print(json.dumps({"metric": "scenes_per_s", "value": 0.0,
+                          "unit": "scenes/s", "vs_baseline": 0.0,
+                          "error": "assets not found"}))
+        return
+
+    params = of.Dt3Params(30, 5.0, 1.0, of.Distance.L2)
+    optimizer = of.BatchOptimize(10)
+    searcher = of.DefaultSearch(4, 10)
+    lengths = of.get_template_lengths(templates)
+
+    def run(scene):
+        fm = of.build_featuremap(scene, params, pad_to=128)
+        matches = of.search(of.DefaultMatch(), searcher, optimizer, fm,
+                            templates, scene)
+        pen = of.penalize(of.ExponentialPenalty(1.5), matches, lengths)
+        return of.sort_matches(pen)[:10]
+
+    # Warmup / compile on a few scenes (canvas-size buckets).
+    t0 = time.perf_counter()
+    for s in scenes[:3]:
+        run(s)
+    warm = time.perf_counter() - t0
+
+    n = len(scenes)
+    t0 = time.perf_counter()
+    best = [run(s) for s in scenes]
+    wall = time.perf_counter() - t0
+    sps = n / wall
+
+    print(f"# warmup {warm:.1f}s; {n} scenes in {wall:.3f}s; "
+          f"best[0]: tmpl={best[0][0].tmpl_idx} score={best[0][0].score:.6f}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "pose_pipeline_scenes_per_s",
+        "value": round(sps, 3),
+        "unit": "scenes/s",
+        "vs_baseline": round(sps / BASELINE_SCENES_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -4,17 +4,25 @@ The reference computes the DT with sequential separable passes
 (Felzenszwalb–Huttenlocher lower envelope for L2/L2², two-pass min
 propagation for L1 — ``core/imgproc.h:86-194``).  Both are *exact* EDTs of
 the rasterized seed-pixel set, so on TPU we compute the mathematically
-identical quantity directly:
+identical quantity with two separable, branch-free passes:
 
-    dt[p] = min over seed pixels s of metric(p - s)
+1. **Column pass** — vertical nearest-seed distance per column:
+   ``g[y, x] = min over seed rows y' in column x of |y - y'|``.
+   Computed with the cumulative-min identity
+   ``min_{y'<=y}(f[y'] + (y - y')) = y + cummin(f[y'] - y')`` (one forward
+   and one backward ``lax.cummin``) — exact integer arithmetic in f32.
 
-as a blocked min-reduction over seeds — dense, branch-free, and VPU/MXU
-friendly.  Coordinates are integers < 2^12 in practice, so squared
+2. **Row pass** — combine columns under the metric:
+   * L1:    ``d[y, x] = min_x' (g[y, x'] + |x - x'|)`` — same cummin trick.
+   * L2²:   ``d[y, x] = min_x' (g[y, x']² + (x - x')²)`` — a min-plus
+     convolution with a quadratic kernel, evaluated as a streaming scan over
+     source-column chunks (no O(W²) materialization).
+   * L2:    sqrt of the L2² result (as the reference, ``imgproc.h:191-192``).
+
+Coordinates are integers < 2^11 in practice, so all intermediate squared
 distances are exact in float32 and the result is bit-comparable with the
-reference (which also ends in exact integer arithmetic in f32).
-
-Empty seed sets produce an all-``F32_MAX`` image, matching the reference's
-initialization value surviving the passes (``imgproc.h:174``).
+reference.  Empty seed sets produce an all-``F32_MAX`` image, matching the
+reference's initialization value surviving the passes (``imgproc.h:174``).
 """
 from __future__ import annotations
 
@@ -28,18 +36,91 @@ from . import geometry as geo
 from . import draw
 from .types import Distance, F32_MAX
 
-# Seeds are processed in chunks of this size to bound the fused
-# broadcast-reduce working set.
-_SEED_CHUNK = 1024
+# Row-pass source columns are consumed in chunks of this many columns to
+# bound the fused broadcast-reduce working set (rows x W x chunk).
+_SRC_CHUNK = 128
+# Rows are processed in blocks (flattening any leading batch axes into the
+# row axis) so peak memory stays ~row_block * W * _SRC_CHUNK floats.
+_ROW_BLOCK = 256
 
 
-def _pad_seeds(points: jax.Array, mask: jax.Array, chunk: int) -> tuple[jax.Array, jax.Array]:
-    s = points.shape[0]
-    pad = (-s) % chunk
-    if pad:
-        points = jnp.pad(points, ((0, pad), (0, 0)))
-        mask = jnp.pad(mask, (0, pad))
-    return points, mask
+def _nearest_1d_l1(f: jax.Array) -> jax.Array:
+    """``out[..., i] = min_j (f[..., j] + |i - j|)`` along the last axis.
+
+    Exact two-sided distance propagation via cumulative minima; f32-exact
+    for index magnitudes < 2^24.
+    """
+    n = f.shape[-1]
+    ax = f.ndim - 1
+    i = jnp.arange(n, dtype=jnp.float32)
+    fwd = i + jax.lax.cummin(f - i, axis=ax)
+    bwd = -i + jax.lax.cummin(f + i, axis=ax, reverse=True)
+    return jnp.minimum(fwd, bwd)
+
+
+def _minplus_quadratic_rows(g: jax.Array) -> jax.Array:
+    """``out[r, x] = min_x' (g[r, x'] + (x - x')²)`` for a row block ``(R, W)``.
+
+    Streaming scan over source-column chunks; carry is the running min.
+    """
+    r, w = g.shape
+    xs = jnp.arange(w, dtype=jnp.float32)
+    pad = (-w) % _SRC_CHUNK
+    gp = jnp.pad(g, ((0, 0), (0, pad)), constant_values=jnp.inf)
+    xp = jnp.pad(xs, (0, pad), constant_values=-1e9)
+    n_chunks = gp.shape[1] // _SRC_CHUNK
+    src = jnp.moveaxis(gp.reshape(r, n_chunks, _SRC_CHUNK), 1, 0)   # (C, R, S)
+    xsrc = xp.reshape(n_chunks, _SRC_CHUNK)                          # (C, S)
+
+    def step(carry, inp):
+        s, xc = inp                                  # (R, S), (S,)
+        d = xs[:, None] - xc[None, :]                # (W, S)
+        cand = s[:, None, :] + (d * d)[None]         # (R, W, S)
+        return jnp.minimum(carry, jnp.min(cand, axis=-1)), None
+
+    init = jnp.full((r, w), jnp.inf, jnp.float32)
+    out, _ = jax.lax.scan(step, init, (src, xsrc))
+    return out
+
+
+@partial(jax.jit, static_argnames=("metric",))
+def dt_from_indicator(ind: jax.Array, *, metric: Distance) -> jax.Array:
+    """Exact DT of a seed-indicator image ``(..., H, W)``.
+
+    ``ind`` holds 0.0 at seed pixels and ``F32_MAX`` (or +inf) elsewhere.
+    """
+    h, w = ind.shape[-2], ind.shape[-1]
+    lead = ind.shape[:-2]
+
+    # Column pass: vertical distance along y (axis -2).
+    g = jnp.swapaxes(_nearest_1d_l1(jnp.swapaxes(ind, -1, -2)), -1, -2)
+
+    if metric == Distance.L1:
+        out = _nearest_1d_l1(g)
+        return jnp.minimum(out, F32_MAX)
+
+    # L2 / L2^2: row-wise min-plus with a quadratic kernel over g².
+    g2 = jnp.minimum(g * g, jnp.inf)
+    rows = g2.reshape(-1, w)
+    r_total = rows.shape[0]
+    pad = (-r_total) % _ROW_BLOCK
+    rows = jnp.pad(rows, ((0, pad), (0, 0)), constant_values=jnp.inf)
+    blocks = rows.reshape(-1, _ROW_BLOCK, w)
+    out = jax.lax.map(_minplus_quadratic_rows, blocks)
+    out = out.reshape(-1, w)[:r_total].reshape(*lead, h, w)
+    out = jnp.minimum(out, F32_MAX)
+    if metric == Distance.L2:
+        out = jnp.where(out >= F32_MAX, F32_MAX, jnp.sqrt(out))
+    return out
+
+
+def indicator_from_points(points: jax.Array, mask: jax.Array, height: int,
+                          width: int) -> jax.Array:
+    """Seed-indicator image from integer seed pixels ``(S, 2)`` (x, y)."""
+    x = jnp.where(mask, points[..., 0], width)
+    y = jnp.where(mask, points[..., 1], height)
+    ind = jnp.full((height, width), F32_MAX, jnp.float32)
+    return ind.at[y.reshape(-1), x.reshape(-1)].set(0.0, mode="drop")
 
 
 @partial(jax.jit, static_argnames=("height", "width", "metric"))
@@ -50,30 +131,8 @@ def distance_from_seeds(points: jax.Array, mask: jax.Array, *, height: int,
     ``points``: ``(S, 2)`` int32 ``(x, y)``; ``mask``: ``(S,)`` validity.
     Invalid seeds are ignored.  All-invalid -> all ``F32_MAX``.
     """
-    ys = jnp.arange(height, dtype=jnp.float32)[:, None]   # (H,1)
-    xs = jnp.arange(width, dtype=jnp.float32)[None, :]    # (1,W)
-
-    points, mask = _pad_seeds(points, mask, _SEED_CHUNK)
-    n_chunks = points.shape[0] // _SEED_CHUNK
-    pts = points.reshape(n_chunks, _SEED_CHUNK, 2).astype(jnp.float32)
-    msk = mask.reshape(n_chunks, _SEED_CHUNK)
-
-    def chunk_min(carry, inp):
-        p, m = inp  # (C,2), (C,)
-        dx = jnp.abs(xs[None, :, :] - p[:, 0][:, None, None])  # (C,H,W) via bcast
-        dy = jnp.abs(ys[None, :, :] - p[:, 1][:, None, None])
-        if metric == Distance.L1:
-            d = dx + dy
-        else:
-            d = dx * dx + dy * dy
-        d = jnp.where(m[:, None, None], d, F32_MAX)
-        return jnp.minimum(carry, jnp.min(d, axis=0)), None
-
-    init = jnp.full((height, width), F32_MAX, jnp.float32)
-    out, _ = jax.lax.scan(chunk_min, init, (pts, msk))
-    if metric == Distance.L2:
-        out = jnp.where(out >= F32_MAX, F32_MAX, jnp.sqrt(out))
-    return out
+    ind = indicator_from_points(points, mask, height, width)
+    return dt_from_indicator(ind, metric=metric)
 
 
 def distance_transform(lines, size, metric: Distance = Distance.L2,

@@ -30,7 +30,7 @@ import numpy as np
 
 from ..core import geometry as geo
 from ..core import draw, integral
-from ..core.dt import distance_from_seeds
+from ..core.dt import dt_from_indicator
 from ..core.types import Distance, F32_MAX
 
 
@@ -227,42 +227,25 @@ def build_featuremap(scene, params: Dt3Params = Dt3Params(),
     else:
         ph, pw = h, w
 
-    # Rasterize all scene lines once on device (bucketed shapes), then
-    # compact the seed pixels per orientation slice on host: the per-slice
-    # seed arrays drive the DT kernel, and tight packing matters — padded
-    # dummy seeds cost as much as real ones.
+    # Rasterize all scene lines once on device (bucketed shapes) and scatter
+    # the seed pixels straight into the per-orientation indicator stack; the
+    # separable DT then runs on the whole [depth, PH, PW] volume at once.
     n_real = translated.shape[0]
     n_bucket = -(-n_real // 128) * 128
     tpad = np.concatenate(
         [translated, np.zeros((n_bucket - n_real, 4), np.float32)])
+    spad = np.zeros(n_bucket, np.int32)
+    spad[:n_real] = slice_of_line
     ext = np.abs(translated[:, 2:4] - translated[:, 0:2])
     longest = float(np.max(np.minimum(np.max(ext, axis=1), math.hypot(w, h)))) if len(ext) else 1.0
     max_points = -(-(int(longest) + 2) // 32) * 32
-    box = jnp.asarray([0.0, float(w - 1), 0.0, float(h - 1)], jnp.float32)
-    pts, pmask = draw.seed_points_box(jnp.asarray(tpad), box, max_points)
-    pts = np.asarray(pts)[:n_real]          # (N, max_points, 2)
-    pmask = np.asarray(pmask)[:n_real]
-
-    counts = pmask.sum(axis=1)
-    slice_counts = np.zeros(params.depth, np.int64)
-    for i in range(n_real):
-        slice_counts[slice_of_line[i]] += counts[i]
-    smax = -(-max(1, int(slice_counts.max())) // 64) * 64
-    seeds = np.zeros((params.depth, smax, 2), np.int32)
-    seed_mask = np.zeros((params.depth, smax), bool)
-    fill = np.zeros(params.depth, np.int64)
-    for i in range(n_real):
-        s = slice_of_line[i]
-        k = int(counts[i])
-        if k == 0:
-            continue
-        seeds[s, fill[s]: fill[s] + k] = pts[i][pmask[i]]
-        seed_mask[s, fill[s]: fill[s] + k] = True
-        fill[s] += k
+    real_mask = np.zeros(n_bucket, bool)
+    real_mask[:n_real] = True
 
     dt3 = _build_dt_stack(
-        jnp.asarray(seeds), jnp.asarray(seed_mask),
+        jnp.asarray(tpad), jnp.asarray(spad), jnp.asarray(real_mask),
         jnp.asarray([h, w], jnp.int32),
+        depth=params.depth, max_points=max_points,
         phys_h=ph, phys_w=pw, metric=params.distance)
 
     wmat = propagation_weights(angles, params.dt3_coeff)
@@ -279,15 +262,27 @@ def build_featuremap(scene, params: Dt3Params = Dt3Params(),
     )
 
 
-@partial(jax.jit, static_argnames=("phys_h", "phys_w", "metric"))
-def _build_dt_stack(seeds, seed_mask, logical_hw, *, phys_h, phys_w, metric):
-    """Per-slice DT: vmapped seed-min on the physical grid; the physical
-    padding beyond the (traced) logical region is zeroed so downstream
-    integrals see zero contributions there."""
-    def one_slice(pts, mask):
-        return distance_from_seeds(pts, mask, height=phys_h, width=phys_w, metric=metric)
+@partial(jax.jit, static_argnames=("depth", "max_points", "phys_h", "phys_w", "metric"))
+def _build_dt_stack(lines, slice_of_line, line_mask, logical_hw, *,
+                    depth, max_points, phys_h, phys_w, metric):
+    """Rasterize lines (clipped to the traced logical box), scatter seeds
+    into the orientation-slice of each line, and run the separable exact DT
+    on the whole stack.  Physical padding beyond the (traced) logical region
+    is zeroed so downstream integrals see zero contributions there."""
+    lhw = logical_hw.astype(jnp.float32)
+    box = jnp.stack([jnp.zeros((), jnp.float32), lhw[1] - 1.0,
+                     jnp.zeros((), jnp.float32), lhw[0] - 1.0])
+    pts, pmask = draw.seed_points_box(lines, box, max_points)   # (N,P,2),(N,P)
+    pmask = pmask & line_mask[:, None]
 
-    dt3 = jax.vmap(one_slice)(seeds, seed_mask)
+    s = jnp.broadcast_to(slice_of_line[:, None], pmask.shape)
+    flat_idx = (s.astype(jnp.int32) * (phys_h * phys_w)
+                + pts[..., 1] * phys_w + pts[..., 0])
+    flat_idx = jnp.where(pmask, flat_idx, depth * phys_h * phys_w)
+    ind = jnp.full((depth * phys_h * phys_w,), F32_MAX, jnp.float32)
+    ind = ind.at[flat_idx.reshape(-1)].set(0.0, mode="drop")
+    dt3 = dt_from_indicator(ind.reshape(depth, phys_h, phys_w), metric=metric)
+
     ys = jnp.arange(phys_h)[:, None]
     xs = jnp.arange(phys_w)[None, :]
     logical = (ys < logical_hw[0]) & (xs < logical_hw[1])

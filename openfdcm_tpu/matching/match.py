@@ -74,9 +74,13 @@ def _make_candidates(tmpl_lines, tmpl_mask, tmpl_of_cand, cand_tmpl_line,
 
 
 def search(matcher, searcher, optimizer, featuremap: fm.Dt3Featuremap,
-           templates, scene) -> list:
+           templates, scene, mesh=None) -> list:
     """Find matches of ``templates`` in ``scene``.  Reference
-    ``defaultmatch.cpp:32-89``.  Returns an UNSORTED list of ``Match``."""
+    ``defaultmatch.cpp:32-89``.  Returns an UNSORTED list of ``Match``.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``"cand"`` axis — shards
+    the candidate tensor across devices (each device walks its own
+    candidates against a replicated DT3; no per-step collectives)."""
     del matcher  # single strategy, kept for API parity
     scene_arr = np.asarray(geo.as_lines(scene)) if np.asarray(scene).size else np.zeros((0, 4), np.float32)
     tmpls = [np.asarray(geo.as_lines(t)) if np.asarray(t).size else np.zeros((0, 4), np.float32)
@@ -105,7 +109,10 @@ def search(matcher, searcher, optimizer, featuremap: fm.Dt3Featuremap,
         tmask[i, : t.shape[0]] = True
 
     # Pad pair count and the scene array to buckets to stabilize jit shapes.
-    pb = _bucket(p)
+    quantum = 64
+    if mesh is not None:
+        quantum = int(np.lcm(quantum, mesh.shape.get("cand", 1)))
+    pb = _bucket(p, quantum)
     pad = pb - p
     pairs_padded = np.concatenate([pairs, np.zeros((pad, 3), np.int32)])
     sb = _bucket(scene_arr.shape[0], 128)
@@ -128,11 +135,20 @@ def search(matcher, searcher, optimizer, featuremap: fm.Dt3Featuremap,
     w, h = featuremap.feature_size
     dense_steps = (-(-max(w, h) // 64) * 64) if mode == "dense" else 1
     d, ph, pw = featuremap.dt3.shape
-    scores, translations, valid = opt.optimize_candidates(
-        featuremap.dt3.reshape(-1), featuremap.angles, featuremap.scene_translation,
-        (ph, pw), jnp.asarray([float(w), float(h)], jnp.float32),
-        cand_lines, cand_mask, cand_align,
-        mode=mode, window=max(window, 1), dense_steps=dense_steps)
+    if mesh is not None:
+        from ..parallel import optimize_candidates_sharded
+        scores, translations, valid = optimize_candidates_sharded(
+            mesh, featuremap.dt3.reshape(-1), featuremap.angles,
+            featuremap.scene_translation, (ph, pw),
+            jnp.asarray([float(w), float(h)], jnp.float32),
+            cand_lines, cand_mask, cand_align,
+            mode=mode, window=max(window, 1), dense_steps=dense_steps)
+    else:
+        scores, translations, valid = opt.optimize_candidates(
+            featuremap.dt3.reshape(-1), featuremap.angles, featuremap.scene_translation,
+            (ph, pw), jnp.asarray([float(w), float(h)], jnp.float32),
+            cand_lines, cand_mask, cand_align,
+            mode=mode, window=max(window, 1), dense_steps=dense_steps)
 
     scores = np.asarray(scores)
     translations = np.asarray(translations)

@@ -1,0 +1,10 @@
+"""Multi-device / multi-host parallelism for openfdcm_tpu."""
+from .sharded import (
+    make_mesh, pad_to_multiple, optimize_candidates_sharded,
+    optimize_candidates_sharded_batch, topk_candidates,
+)
+
+__all__ = [
+    "make_mesh", "pad_to_multiple", "optimize_candidates_sharded",
+    "optimize_candidates_sharded_batch", "topk_candidates",
+]
