@@ -22,6 +22,7 @@ ASSETS = "/root/reference/notebooks/assets"
 
 def main():
     import openfdcm_tpu as of
+    of.enable_compilation_cache()
 
     obj = "obj_01"
     templates = [of.read(p) for p in sorted(glob.glob(f"{ASSETS}/{obj}/templates/*.tmpl"))]
@@ -37,17 +38,18 @@ def main():
     optimizer = of.BatchOptimize(10)
     searcher = of.DefaultSearch(4, 10)
     lengths = of.get_template_lengths(templates)
+    bank = of.prepare_templates(templates)
 
     def run(scene):
         fm = of.build_featuremap(scene, params, pad_to=128)
         matches = of.search(of.DefaultMatch(), searcher, optimizer, fm,
-                            templates, scene)
+                            bank, scene)
         pen = of.penalize(of.ExponentialPenalty(1.5), matches, lengths)
         return of.sort_matches(pen)[:10]
 
-    # Warmup / compile on a few scenes (canvas-size buckets).
+    # Warmup / compile every shape bucket once.
     t0 = time.perf_counter()
-    for s in scenes[:3]:
+    for s in scenes:
         run(s)
     warm = time.perf_counter() - t0
 

@@ -24,7 +24,9 @@ from .matching.optimize import (
     DefaultOptimize, IndulgentOptimize, BatchOptimize, DenseOptimize, optimize,
 )
 from .matching.penalty import DefaultPenalty, ExponentialPenalty, penalize
-from .matching.match import Match, DefaultMatch, search, sort_matches
+from .matching.match import (
+    Match, DefaultMatch, search, sort_matches, TemplateBank, prepare_templates,
+)
 
 # Reference spells the enum `openfdcm.distance`.
 distance = Distance
@@ -38,5 +40,15 @@ __all__ = [
     "establish_search_strategy", "DefaultOptimize", "IndulgentOptimize",
     "BatchOptimize", "DenseOptimize", "optimize", "DefaultPenalty",
     "ExponentialPenalty", "penalize", "Match", "DefaultMatch", "search",
-    "sort_matches", "geometry", "io",
+    "sort_matches", "TemplateBank", "prepare_templates", "geometry", "io",
+    "enable_compilation_cache",
 ]
+
+
+def enable_compilation_cache(path: str = "/root/repo/.jax_cache",
+                             min_compile_secs: float = 0.5) -> None:
+    """Enable JAX's persistent compilation cache (huge win on
+    remote-attached TPUs where each XLA compile pays tunnel latency)."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)

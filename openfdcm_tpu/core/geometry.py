@@ -50,6 +50,24 @@ def as_lines(lines) -> jax.Array:
     return arr
 
 
+def as_lines_np(lines) -> "np.ndarray":
+    """Host (numpy) twin of :func:`as_lines` — no device round-trip.
+
+    Orchestration code (search strategies, candidate bookkeeping) runs on
+    host data; going through jnp would cost a tunnel round-trip per call on
+    remote-attached TPUs.
+    """
+    import numpy as np
+    arr = np.asarray(lines, dtype=np.float32)
+    if arr.ndim == 1:
+        arr = arr.reshape(1, 4)
+    if arr.ndim == 2 and arr.shape[0] == 4 and arr.shape[1] != 4:
+        arr = arr.T
+    if arr.shape[-1] != 4:
+        raise ValueError(f"line array must have a trailing axis of 4, got {arr.shape}")
+    return arr
+
+
 def p1(lines: jax.Array) -> jax.Array:
     """First endpoint, ``(..., 2)``.  Reference ``core/math.h:282``."""
     return lines[..., 0:2]

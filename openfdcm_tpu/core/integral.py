@@ -13,7 +13,10 @@ sharing a sweep orientation run in one vmapped scan.
 Physical canvases may be padded beyond the logical region; sweep positions
 are assigned so the logical region keeps reference-exact indices (padded
 rows are zeros and padded columns occupy trailing sweep positions, so they
-never perturb logical sums).
+never perturb logical sums).  The sweep geometry (major axis, flip, step
+ratio, per-step deltas) depends only on the *static* angle set and physical
+size; the logical size enters only through a traced permutation, so the
+whole stack integral is jittable with no per-scene recompiles.
 """
 from __future__ import annotations
 
@@ -60,16 +63,23 @@ def _deltas(r: np.float32, n: int) -> np.ndarray:
     return d
 
 
-@jax.jit
-def _sweep_scan(img: jax.Array, s2p: jax.Array, p2s: jax.Array,
-                deltas: jax.Array) -> jax.Array:
-    """Integrate along axis 1 visiting columns in sweep order ``s2p``.
+def _sweep_perm(flip: jax.Array, n_log: jax.Array, n_phys: int) -> jax.Array:
+    """Sweep-order permutation (an involution, so it maps both ways):
+    logical columns first (reversed when ``flip``), trailing physical padding
+    keeps its identity position."""
+    j = jnp.arange(n_phys, dtype=jnp.int32)
+    flipped = jnp.where(j < n_log, n_log - 1 - j, j)
+    return jnp.where(flip, flipped, j)
 
-    carry_j = col_{s2p[j]} + shift(carry_{j-1}, deltas[j]); out-of-range rows
+
+def _sweep_scan(img: jax.Array, perm: jax.Array, deltas: jax.Array) -> jax.Array:
+    """Integrate along axis 1 visiting columns in sweep order ``perm``.
+
+    carry_j = col_{perm[j]} + shift(carry_{j-1}, deltas[j]); out-of-range rows
     receive no contribution (zero fill), exactly like the reference's
     block-window add (``imgproc.h:59-62``).
     """
-    cols = img[:, s2p].T  # (W_sweep, H) in sweep order
+    cols = img[:, perm].T  # (W_sweep, H) in sweep order
 
     def step(carry, inp):
         col, d = inp
@@ -80,49 +90,64 @@ def _sweep_scan(img: jax.Array, s2p: jax.Array, p2s: jax.Array,
         return new, new
 
     _, out = jax.lax.scan(step, jnp.zeros_like(cols[0]), (cols, deltas))
-    return out[p2s].T  # back to physical column order, (H, W)
+    return out[perm].T  # back to physical column order, (H, W)
 
 
 def line_integral(img: jax.Array, angle: float) -> jax.Array:
     """Line integral of one image along ``angle``.  Reference ``imgproc.h:38-84``."""
     h, w = img.shape
-    return line_integral_stack(img[None], [angle], logical_hw=(h, w))[0]
+    return line_integral_stack(img[None], [angle],
+                               logical_hw=jnp.asarray([h, w], jnp.int32))[0]
+
+
+def _group_geometry(angles, phys_n_by_major):
+    """Static per-group geometry: for each major-axis group, the member slice
+    indices, flip flags, and delta tables."""
+    specs = [sweep_spec(float(a)) for a in angles]
+    groups = []
+    for want_x_major in (True, False):
+        idxs = [i for i, sp in enumerate(specs) if sp[0] == want_x_major]
+        if not idxs:
+            continue
+        n_phys = phys_n_by_major[want_x_major]
+        flips = np.array([specs[i][1] for i in idxs])
+        dels = np.stack([_deltas(specs[i][2], n_phys) for i in idxs])
+        groups.append((want_x_major, tuple(idxs), flips, dels))
+    return groups
+
+
+@partial(jax.jit, static_argnames=("angles",))
+def _line_integral_stack(imgs: jax.Array, logical_hw: jax.Array, *, angles):
+    d, ph, pw = imgs.shape
+    groups = _group_geometry(angles, {True: pw, False: ph})
+    out = [None] * d
+    for x_major, idxs, flips, dels in groups:
+        n_log = logical_hw[1] if x_major else logical_hw[0]
+        group = imgs[np.array(idxs)]
+        if not x_major:
+            group = jnp.swapaxes(group, 1, 2)
+        n_phys = group.shape[2]
+        perms = jax.vmap(lambda f: _sweep_perm(f, n_log, n_phys))(jnp.asarray(flips))
+        res = jax.vmap(_sweep_scan)(group, perms, jnp.asarray(dels))
+        if not x_major:
+            res = jnp.swapaxes(res, 1, 2)
+        for k, i in enumerate(idxs):
+            out[i] = res[k]
+    return jnp.stack(out)
 
 
 def line_integral_stack(imgs: jax.Array, angles, logical_hw=None) -> jax.Array:
     """Line integrals of a ``(D, PH, PW)`` stack, one static angle per slice.
 
-    ``logical_hw``: the logical ``(H, W)``; trailing physical padding (which
-    must be zero-valued) stays out of the reference-exact index pattern.
+    ``logical_hw``: traced ``(H, W)`` (int array or tuple); trailing physical
+    padding (which must be zero-valued) stays out of the reference-exact
+    index pattern.
     """
     d, ph, pw = imgs.shape
-    lh, lw = logical_hw if logical_hw is not None else (ph, pw)
+    if logical_hw is None:
+        logical_hw = jnp.asarray([ph, pw], jnp.int32)
+    else:
+        logical_hw = jnp.asarray(logical_hw, jnp.int32)
     assert len(angles) == d
-    specs = [sweep_spec(float(a)) for a in angles]
-    out = [None] * d
-
-    for want_x_major in (True, False):
-        idxs = [i for i, sp in enumerate(specs) if sp[0] == want_x_major]
-        if not idxs:
-            continue
-        n_phys, n_log = (pw, lw) if want_x_major else (ph, lh)
-        dels, s2ps, p2ss = [], [], []
-        for i in idxs:
-            _, flip, r = specs[i]
-            sweep_log = (n_log - 1 - np.arange(n_log)) if flip else np.arange(n_log)
-            s2p = np.concatenate([sweep_log, np.arange(n_log, n_phys)]).astype(np.int32)
-            p2s = np.empty(n_phys, np.int32)
-            p2s[s2p] = np.arange(n_phys, dtype=np.int32)
-            dels.append(_deltas(r, n_phys))
-            s2ps.append(s2p)
-            p2ss.append(p2s)
-        group = imgs[np.array(idxs)]
-        if not want_x_major:
-            group = jnp.swapaxes(group, 1, 2)
-        res = jax.vmap(_sweep_scan)(group, jnp.asarray(np.stack(s2ps)),
-                                    jnp.asarray(np.stack(p2ss)), jnp.asarray(np.stack(dels)))
-        if not want_x_major:
-            res = jnp.swapaxes(res, 1, 2)
-        for k, i in enumerate(idxs):
-            out[i] = res[k]
-    return jnp.stack(out)
+    return _line_integral_stack(imgs, logical_hw,
+                                angles=tuple(float(a) for a in angles))

@@ -206,7 +206,7 @@ def build_featuremap(scene, params: Dt3Params = Dt3Params(),
     all lookups are unaffected (padding lives on the trailing side of every
     sweep).
     """
-    scene = np.asarray(geo.as_lines(scene))
+    scene = geo.as_lines_np(scene)
     if scene.shape[0] == 0:
         return empty_featuremap(params)
 
@@ -214,11 +214,6 @@ def build_featuremap(scene, params: Dt3Params = Dt3Params(),
     translated = scene + np.concatenate([translation, translation]).astype(np.float32)
 
     angles = make_angles(params.depth)
-    # Classify lines to their circularly nearest angle (host; scene is host data).
-    d = translated[:, 2:4] - translated[:, 0:2]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        theta = np.arctan(d[:, 1] / d[:, 0]).astype(np.float32)
-    slice_of_line = np.asarray(closest_orientation_idx(jnp.asarray(angles), jnp.asarray(theta)))
 
     ph = pw = None
     if pad_to:
@@ -227,31 +222,20 @@ def build_featuremap(scene, params: Dt3Params = Dt3Params(),
     else:
         ph, pw = h, w
 
-    # Rasterize all scene lines once on device (bucketed shapes) and scatter
-    # the seed pixels straight into the per-orientation indicator stack; the
-    # separable DT then runs on the whole [depth, PH, PW] volume at once.
+    # Pad the line count to a bucket; everything else is one device dispatch.
     n_real = translated.shape[0]
     n_bucket = -(-n_real // 128) * 128
     tpad = np.concatenate(
         [translated, np.zeros((n_bucket - n_real, 4), np.float32)])
-    spad = np.zeros(n_bucket, np.int32)
-    spad[:n_real] = slice_of_line
-    ext = np.abs(translated[:, 2:4] - translated[:, 0:2])
-    longest = float(np.max(np.minimum(np.max(ext, axis=1), math.hypot(w, h)))) if len(ext) else 1.0
-    max_points = -(-(int(longest) + 2) // 32) * 32
     real_mask = np.zeros(n_bucket, bool)
     real_mask[:n_real] = True
 
-    dt3 = _build_dt_stack(
-        jnp.asarray(tpad), jnp.asarray(spad), jnp.asarray(real_mask),
-        jnp.asarray([h, w], jnp.int32),
-        depth=params.depth, max_points=max_points,
-        phys_h=ph, phys_w=pw, metric=params.distance)
-
     wmat = propagation_weights(angles, params.dt3_coeff)
-    dt3 = propagate_orientation(dt3, jnp.asarray(wmat))
-
-    dt3 = integral.line_integral_stack(dt3, list(angles), logical_hw=(h, w))
+    dt3 = _featuremap_device(
+        jnp.asarray(tpad), jnp.asarray(real_mask),
+        jnp.asarray([h, w], jnp.int32), jnp.asarray(wmat),
+        depth=params.depth, phys_h=ph, phys_w=pw, metric=params.distance,
+        angles=tuple(float(a) for a in angles))
 
     return Dt3Featuremap(
         dt3=dt3,
@@ -260,6 +244,22 @@ def build_featuremap(scene, params: Dt3Params = Dt3Params(),
         feature_size=(w, h),
         params=params,
     )
+
+
+@partial(jax.jit, static_argnames=("depth", "phys_h", "phys_w", "metric", "angles"))
+def _featuremap_device(lines, line_mask, logical_hw, wmat, *,
+                       depth, phys_h, phys_w, metric, angles):
+    """The whole DT3 build as ONE device dispatch: orientation classify ->
+    seed scatter -> separable exact DT -> orientation propagation ->
+    directional line integral."""
+    angle_arr = jnp.asarray(np.asarray(angles, np.float32))
+    theta = geo.get_angle(lines)
+    slice_of_line = closest_orientation_idx(angle_arr, theta)
+    dt3 = _build_dt_stack(lines, slice_of_line, line_mask, logical_hw,
+                          depth=depth, max_points=max(phys_h, phys_w),
+                          phys_h=phys_h, phys_w=phys_w, metric=metric)
+    dt3 = propagate_orientation(dt3, wmat)
+    return integral.line_integral_stack(dt3, list(angles), logical_hw=logical_hw)
 
 
 @partial(jax.jit, static_argnames=("depth", "max_points", "phys_h", "phys_w", "metric"))
@@ -371,16 +371,30 @@ def evaluate_batched(dt3_flat: jax.Array, hw: tuple, slice_idx: jax.Array,
     include the scene translation).
     Returns scores ``(..., K)``: per translation, sum over lines of
     ``|dt3[o, y2, x2] - dt3[o, y1, x1]|`` with int-truncated coordinates.
+
+    Layout note: all big intermediates are arranged ``(2, L, B, K)`` so the
+    *large* axes (candidates x steps) are trailing — TPU tiles the last two
+    dims to (8, 128); a trailing size-2 axis would pad 64x in memory.
     """
     h, w = hw
-    pos = endpoints[..., None, :, :, :] + translations[..., :, None, None, :]
-    xi = pos[..., 0].astype(jnp.int32)  # trunc toward zero (in-bounds => floor)
-    yi = pos[..., 1].astype(jnp.int32)
-    flat = (slice_idx[..., None, :, None] * (h * w) + yi * w + xi)
-    vals = jnp.take(dt3_flat, flat, mode="clip")  # (..., K, L, 2)
-    per_line = jnp.abs(vals[..., 0] - vals[..., 1])
-    per_line = per_line * line_mask[..., None, :]
-    return jnp.sum(per_line, axis=-1)
+    lead = endpoints.shape[:-3]
+    l = endpoints.shape[-3]
+    k = translations.shape[-2]
+    b = int(np.prod(lead)) if lead else 1
+    ep = endpoints.reshape(b, l, 2, 2)
+    tr = translations.reshape(b, k, 2)
+    si = slice_idx.reshape(b, l)
+    lm = line_mask.reshape(b, l)
+
+    ex = jnp.transpose(ep[..., 0], (2, 1, 0))            # (2, L, B)
+    ey = jnp.transpose(ep[..., 1], (2, 1, 0))
+    xi = (ex[..., None] + tr[..., 0][None, None]).astype(jnp.int32)  # (2,L,B,K)
+    yi = (ey[..., None] + tr[..., 1][None, None]).astype(jnp.int32)
+    base = jnp.transpose(si, (1, 0))[None, :, :, None] * (h * w)     # (1,L,B,1)
+    vals = jnp.take(dt3_flat, base + yi * w + xi, mode="clip")       # (2,L,B,K)
+    per_line = jnp.abs(vals[0] - vals[1])                            # (L,B,K)
+    scores = jnp.sum(per_line * jnp.transpose(lm, (1, 0))[:, :, None], axis=0)
+    return scores.reshape(*lead, k)
 
 
 def evaluate(featuremap: Dt3Featuremap, templates, translations):

@@ -73,6 +73,60 @@ def _make_candidates(tmpl_lines, tmpl_mask, tmpl_of_cand, cand_tmpl_line,
     return aligned, transforms, align_vecs
 
 
+@dataclasses.dataclass(frozen=True)
+class TemplateBank:
+    """Device-resident padded template bank (upload once, search many)."""
+    lines: jax.Array   # (T, lmax, 4)
+    mask: jax.Array    # (T, lmax)
+    host: tuple        # per-template host (N_i, 4) arrays (search strategies)
+
+    @property
+    def lmax(self) -> int:
+        return self.lines.shape[1]
+
+
+def prepare_templates(templates) -> TemplateBank:
+    """Pad templates to a common line count and upload to device."""
+    tmpls = [geo.as_lines_np(t) if np.asarray(t).size else np.zeros((0, 4), np.float32)
+             for t in templates]
+    lmax = max(1, max((t.shape[0] for t in tmpls), default=1))
+    tbank = np.zeros((len(tmpls), lmax, 4), np.float32)
+    tmask = np.zeros((len(tmpls), lmax), bool)
+    for i, t in enumerate(tmpls):
+        tbank[i, : t.shape[0]] = t
+        tmask[i, : t.shape[0]] = True
+    return TemplateBank(jnp.asarray(tbank), jnp.asarray(tmask), tuple(tmpls))
+
+
+@partial(jax.jit, static_argnames=("lmax", "hw", "mode", "window", "dense_steps"))
+def _search_device(tmpl_lines, tmpl_mask, tmpl_of_cand, cand_tmpl_line,
+                   cand_scene_line, scene, dt3_flat, angles, scene_tr,
+                   feature_size, *, lmax, hw, mode, window, dense_steps):
+    """Candidate generation + batched optimize + transform combine as ONE
+    device dispatch.  Returns ``(scores (C,), transforms (C,2,3), valid (C,))``
+    with ``C = 2 * P`` (both alignment polarities, reference emplace order
+    ``defaultmatch.cpp:62-70``)."""
+    aligned, transforms, align_vecs = _make_candidates(
+        tmpl_lines, tmpl_mask, tmpl_of_cand, cand_tmpl_line,
+        cand_scene_line, scene, lmax)
+    p = tmpl_of_cand.shape[0]
+    c = 2 * p
+    cand_lines = aligned.reshape(c, lmax, 4)
+    cand_mask = jnp.repeat(tmpl_mask[tmpl_of_cand], 2, axis=0)
+    cand_align = jnp.repeat(align_vecs, 2, axis=0)
+
+    scores, translations, valid = opt.optimize_candidates(
+        dt3_flat, angles, scene_tr, hw, feature_size,
+        cand_lines, cand_mask, cand_align,
+        mode=mode, window=window, dense_steps=dense_steps)
+
+    # combine(translation, transform): translation applied after
+    # (defaultmatch.cpp:83-84).
+    mats = transforms.reshape(c, 2, 3)
+    mats = mats.at[:, :, 2].add(translations)
+    return scores, mats, valid
+
+
 def search(matcher, searcher, optimizer, featuremap: fm.Dt3Featuremap,
            templates, scene, mesh=None) -> list:
     """Find matches of ``templates`` in ``scene``.  Reference
@@ -82,15 +136,14 @@ def search(matcher, searcher, optimizer, featuremap: fm.Dt3Featuremap,
     the candidate tensor across devices (each device walks its own
     candidates against a replicated DT3; no per-step collectives)."""
     del matcher  # single strategy, kept for API parity
-    scene_arr = np.asarray(geo.as_lines(scene)) if np.asarray(scene).size else np.zeros((0, 4), np.float32)
-    tmpls = [np.asarray(geo.as_lines(t)) if np.asarray(t).size else np.zeros((0, 4), np.float32)
-             for t in templates]
-    if not tmpls or scene_arr.shape[0] == 0 or featuremap.feature_size == (0, 0):
+    bank = templates if isinstance(templates, TemplateBank) else prepare_templates(templates)
+    scene_arr = geo.as_lines_np(scene) if np.asarray(scene).size else np.zeros((0, 4), np.float32)
+    if not bank.host or scene_arr.shape[0] == 0 or featuremap.feature_size == (0, 0):
         return []
 
     # --- host: combinations per template -------------------------------
     pairs = []  # (tmpl_id, tmpl_line_idx, scene_line_idx)
-    for ti, t in enumerate(tmpls):
+    for ti, t in enumerate(bank.host):
         if t.shape[0] == 0:
             continue
         combos = establish_search_strategy(searcher, t, scene_arr)
@@ -100,13 +153,7 @@ def search(matcher, searcher, optimizer, featuremap: fm.Dt3Featuremap,
         return []
     pairs = np.array(pairs, np.int32)
     p = pairs.shape[0]
-
-    lmax = max(1, max(t.shape[0] for t in tmpls))
-    tbank = np.zeros((len(tmpls), lmax, 4), np.float32)
-    tmask = np.zeros((len(tmpls), lmax), bool)
-    for i, t in enumerate(tmpls):
-        tbank[i, : t.shape[0]] = t
-        tmask[i, : t.shape[0]] = True
+    lmax = bank.lmax
 
     # Pad pair count and the scene array to buckets to stabilize jit shapes.
     quantum = 64
@@ -119,50 +166,48 @@ def search(matcher, searcher, optimizer, featuremap: fm.Dt3Featuremap,
     scene_padded = np.concatenate(
         [scene_arr, np.zeros((sb - scene_arr.shape[0], 4), np.float32)])
 
-    aligned, transforms, align_vecs = _make_candidates(
-        jnp.asarray(tbank), jnp.asarray(tmask),
-        jnp.asarray(pairs_padded[:, 0]), jnp.asarray(pairs_padded[:, 1]),
-        jnp.asarray(pairs_padded[:, 2]), jnp.asarray(scene_padded), lmax)
-
-    # Flatten polarity: candidate order (pair0/pol0, pair0/pol1, pair1/pol0, ...)
-    # matching the reference's emplace order (defaultmatch.cpp:62-70).
-    c = 2 * pb
-    cand_lines = aligned.reshape(c, lmax, 4)
-    cand_mask = jnp.repeat(jnp.asarray(tmask)[jnp.asarray(pairs_padded[:, 0])], 2, axis=0)
-    cand_align = jnp.repeat(align_vecs, 2, axis=0)
-
     mode, window = opt.optimizer_mode(optimizer)
     w, h = featuremap.feature_size
     dense_steps = (-(-max(w, h) // 64) * 64) if mode == "dense" else 1
     d, ph, pw = featuremap.dt3.shape
+    feature_size = jnp.asarray([float(w), float(h)], jnp.float32)
+    c = 2 * pb
+
     if mesh is not None:
         from ..parallel import optimize_candidates_sharded
+        aligned, transforms, align_vecs = _make_candidates(
+            bank.lines, bank.mask,
+            jnp.asarray(pairs_padded[:, 0]), jnp.asarray(pairs_padded[:, 1]),
+            jnp.asarray(pairs_padded[:, 2]), jnp.asarray(scene_padded), lmax)
+        cand_lines = aligned.reshape(c, lmax, 4)
+        cand_mask = jnp.repeat(bank.mask[jnp.asarray(pairs_padded[:, 0])], 2, axis=0)
+        cand_align = jnp.repeat(align_vecs, 2, axis=0)
         scores, translations, valid = optimize_candidates_sharded(
             mesh, featuremap.dt3.reshape(-1), featuremap.angles,
-            featuremap.scene_translation, (ph, pw),
-            jnp.asarray([float(w), float(h)], jnp.float32),
+            featuremap.scene_translation, (ph, pw), feature_size,
             cand_lines, cand_mask, cand_align,
             mode=mode, window=max(window, 1), dense_steps=dense_steps)
+        mats = np.asarray(transforms).reshape(c, 2, 3).copy()
+        mats[:, :, 2] += np.asarray(translations)
+        mats = jnp.asarray(mats)
     else:
-        scores, translations, valid = opt.optimize_candidates(
-            featuremap.dt3.reshape(-1), featuremap.angles, featuremap.scene_translation,
-            (ph, pw), jnp.asarray([float(w), float(h)], jnp.float32),
-            cand_lines, cand_mask, cand_align,
-            mode=mode, window=max(window, 1), dense_steps=dense_steps)
+        scores, mats, valid = _search_device(
+            bank.lines, bank.mask,
+            jnp.asarray(pairs_padded[:, 0]), jnp.asarray(pairs_padded[:, 1]),
+            jnp.asarray(pairs_padded[:, 2]), jnp.asarray(scene_padded),
+            featuremap.dt3.reshape(-1), featuremap.angles,
+            featuremap.scene_translation, feature_size,
+            lmax=lmax, hw=(ph, pw), mode=mode, window=max(window, 1),
+            dense_steps=dense_steps)
 
     scores = np.asarray(scores)
-    translations = np.asarray(translations)
     valid = np.asarray(valid)
-    transforms_np = np.asarray(transforms).reshape(c, 2, 3)
+    mats_np = np.asarray(mats)
 
     matches = []
     for i in range(2 * p):
         if not valid[i]:
             continue
         pair = pairs[i // 2]
-        # combine(translation, transform): translation applied after
-        # (defaultmatch.cpp:83-84).
-        mat = transforms_np[i].copy()
-        mat[:, 2] += translations[i]
-        matches.append(Match(int(pair[0]), float(scores[i]), mat))
+        matches.append(Match(int(pair[0]), float(scores[i]), mats_np[i].copy()))
     return matches

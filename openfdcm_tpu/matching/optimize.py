@@ -124,20 +124,19 @@ def _chain_prefix(scores, prev_kept, valid):
     return k, wmin, wmin_idx, new_prev, any_stop
 
 
-def _greedy_walk(eval_window, t_limit, prev0, best0, best_mul0, sign, window):
+def _greedy_walk(eval_window, t_limit, state, sign, window):
     """Lockstep greedy walk (Default/Indulgent semantics) for all candidates.
 
     ``eval_window(t0) -> (C, window)`` scores at multipliers sign*(t0+i).
     ``t_limit``: number of legal steps in this direction (trunc(|bound|)).
+    ``state`` = ``(prev, best, bmul, done, t_next)`` with per-candidate
+    resume multipliers ``t_next``.
     """
-    c = t_limit.shape[0]
+    def cond(st):
+        return jnp.any(~st[3])
 
-    def cond(state):
-        t0, prev, best, bmul, done = state
-        return jnp.any(~done)
-
-    def body(state):
-        t0, prev, best, bmul, done = state
+    def body(st):
+        prev, best, bmul, done, t0 = st
         scores = eval_window(t0)
         idx = t0[:, None] + jnp.arange(window, dtype=jnp.float32)[None, :]
         valid = (idx <= t_limit[:, None]) & ~done[:, None]
@@ -146,51 +145,93 @@ def _greedy_walk(eval_window, t_limit, prev0, best0, best_mul0, sign, window):
         best = jnp.where(improve, wmin, best)
         bmul = jnp.where(improve, sign * (t0 + wmin_idx.astype(jnp.float32)), bmul)
         done = done | ended
-        return t0 + window, new_prev, best, bmul, done
+        return new_prev, best, bmul, done, t0 + window
 
-    t0 = jnp.ones(c, jnp.float32)
-    done = t_limit < 1
-    state = (t0, prev0, best0, best_mul0, done)
-    state = jax.lax.while_loop(cond, body, state)
-    _, prev, best, bmul, _ = state
-    return prev, best, bmul
+    return jax.lax.while_loop(cond, body, state)
 
 
-def _batch_walk(eval_window, t_limit, prev0, best0, best_mul0, sign, batch):
-    """Lockstep BatchOptimize walk (``batchoptimize.cpp:48-94``)."""
-    c = t_limit.shape[0]
+def _greedy_chain(scores, t_limit, state, sign):
+    """One vectorized greedy-walk window over precomputed dense ``scores
+    (C, H)`` starting at each candidate's ``t_next`` — exactly one
+    :func:`_greedy_walk` iteration with ``window=H``, minus the eval."""
+    prev, best, bmul, done, t0 = state
+    h = scores.shape[1]
+    idx = t0[:, None] + jnp.arange(h, dtype=jnp.float32)[None, :]
+    valid = (idx <= t_limit[:, None]) & ~done[:, None]
+    k, wmin, wmin_idx, new_prev, ended = _chain_prefix(scores, prev, valid)
+    improve = wmin < best
+    best = jnp.where(improve, wmin, best)
+    bmul = jnp.where(improve, sign * (t0 + wmin_idx.astype(jnp.float32)), bmul)
+    return new_prev, best, bmul, done | ended, t0 + h
 
-    def cond(state):
-        t0, prev, best, bmul, done = state
-        return jnp.any(~done)
 
-    def body(state):
-        t0, prev, best, bmul, done = state
+def _batch_step(carry, inp, *, sign, batch, t_limit):
+    """One BatchOptimize batch decision (``batchoptimize.cpp:60-93``)."""
+    prev, best, bmul, done = carry
+    bmin, barg, last, t0b = inp
+    active = ~done
+    keep = active & ~(bmin > prev)          # break *before* keeping
+    improve = keep & (bmin < best)
+    best = jnp.where(improve, bmin, best)
+    bmul = jnp.where(improve, sign * (t0b + barg), bmul)
+    prev = jnp.where(keep, bmin, prev)
+    interior = keep & (bmin < last)         # break *after* keeping
+    exhausted = (t0b + batch) > t_limit
+    done = done | ~keep | interior | exhausted
+    return (prev, best, bmul, done)
+
+
+def _batch_stats(scores, t_limit, t0, batch):
+    """Per-batch (min, argmin, last-valid, per-batch t0) over dense scores
+    ``(C, H)`` starting at per-candidate multiplier ``t0``."""
+    c, h = scores.shape
+    nb = h // batch
+    idx = t0[:, None] + jnp.arange(h, dtype=jnp.float32)[None, :]
+    vv = idx <= t_limit[:, None]
+    masked = jnp.where(vv, scores, _BIG).reshape(c, nb, batch)
+    bmin = jnp.min(masked, axis=2)
+    barg = jnp.argmin(masked, axis=2).astype(jnp.float32)
+    n_valid = jnp.sum(vv.reshape(c, nb, batch), axis=2)
+    last = jnp.take_along_axis(
+        masked, jnp.maximum(n_valid - 1, 0)[..., None], axis=2)[..., 0]
+    t0s = t0[None, :] + (jnp.arange(nb, dtype=jnp.float32) * batch)[:, None]  # (nb, C)
+    return bmin, barg, last, t0s
+
+
+def _batch_chain(scores, t_limit, state, sign, batch):
+    """Vectorized BatchOptimize chain over dense ``scores (C, H)``
+    (H a multiple of ``batch``): the per-batch decisions are a cheap scan on
+    ``(C,)`` vectors; all evaluation already happened in one fused gather."""
+    prev, best, bmul, done, t0 = state
+    h = scores.shape[1]
+    bmin, barg, last, t0s = _batch_stats(scores, t_limit, t0, batch)
+
+    def step(carry, inp):
+        return _batch_step(carry, inp, sign=sign, batch=batch,
+                           t_limit=t_limit), None
+
+    (prev, best, bmul, done), _ = jax.lax.scan(
+        step, (prev, best, bmul, done), (bmin.T, barg.T, last.T, t0s))
+    return prev, best, bmul, done, t0 + h
+
+
+def _batch_walk(eval_window, t_limit, state, sign, batch):
+    """Lockstep BatchOptimize walk (``batchoptimize.cpp:48-94``) continuing
+    from ``state = (prev, best, bmul, done, t_next)``."""
+    def cond(st):
+        return jnp.any(~st[3])
+
+    def body(st):
+        prev, best, bmul, done, t0 = st
         scores = eval_window(t0)
-        idx = t0[:, None] + jnp.arange(batch, dtype=jnp.float32)[None, :]
-        valid = idx <= t_limit[:, None]
-        masked = jnp.where(valid, scores, _BIG)
-        bmin = jnp.min(masked, axis=1)
-        bargmin = jnp.argmin(masked, axis=1)
-        n_valid = jnp.sum(valid, axis=1)
-        last = jnp.take_along_axis(masked, jnp.maximum(n_valid - 1, 0)[:, None], axis=1)[:, 0]
-        active = ~done
-        keep = active & ~(bmin > prev)          # break *before* keeping
-        improve = keep & (bmin < best)
-        best = jnp.where(improve, bmin, best)
-        bmul = jnp.where(improve, sign * (t0 + bargmin.astype(jnp.float32)), bmul)
-        prev = jnp.where(keep, bmin, prev)
-        interior = keep & (bmin < last)         # break *after* keeping
-        exhausted = (t0 + batch) > t_limit
-        done = done | ~keep | interior | exhausted
-        return t0 + batch, prev, best, bmul, done
+        bmin, barg, last, t0s = _batch_stats(scores, t_limit, t0, batch)
+        prev, best, bmul, done = _batch_step(
+            (prev, best, bmul, done),
+            (bmin[:, 0], barg[:, 0], last[:, 0], t0),
+            sign=sign, batch=batch, t_limit=t_limit)
+        return prev, best, bmul, done, t0 + batch
 
-    t0 = jnp.ones(c, jnp.float32)
-    done = t_limit < 1
-    state = (t0, prev0, best0, best_mul0, done)
-    state = jax.lax.while_loop(cond, body, state)
-    _, prev, best, bmul, _ = state
-    return prev, best, bmul
+    return jax.lax.while_loop(cond, body, state)
 
 
 # ---------------------------------------------------------------------------
@@ -258,17 +299,60 @@ def optimize_candidates(dt3_flat, angles, scene_tr, hw, feature_size,
 
             n_win = -(-dense_steps // win)
             best, mul = jax.lax.fori_loop(0, n_win, body, (best, mul))
-    elif mode in ("default", "indulgent"):
-        prev, best, mul = _greedy_walk(eval_win(1.0, window), t_pos, s0, s0,
-                                       jnp.zeros(c, jnp.float32), 1.0, window)
+    elif mode in ("default", "indulgent", "batch"):
+        # Dense-window evaluation with COMPACTION ROUNDS.  Measured on the
+        # pose assets, >=75% of candidates stop their greedy walk within the
+        # first window and p99.9 by step ~31 — so after one full-width round,
+        # each further round stable-sorts the not-done candidates to the
+        # front, gathers that shrinking subset, and evaluates a wider window
+        # for it (per-candidate resume step keeps overflow exact).  A final
+        # lockstep while_loop finishes any stragglers.  All rounds are one
+        # fused device dispatch; the expensive part (the probe gather) only
+        # ever runs on still-active candidates.
+        walk = _batch_walk if mode == "batch" else _greedy_walk
+
+        def chain_call(scores, t_lim, state, sign):
+            if mode == "batch":
+                return _batch_chain(scores, t_lim, state, sign, window)
+            return _greedy_chain(scores, t_lim, state, sign)
+
+        def eval_at(sign, count, sel=None):
+            si = slice_idx if sel is None else slice_idx[sel]
+            ep = endpoints if sel is None else endpoints[sel]
+            lmm = lm if sel is None else lm[sel]
+            sr = safe_rast if sel is None else safe_rast[sel]
+
+            def f(t0):
+                return _window_scores(dt3_flat, hw, si, ep, lmm, scene_tr,
+                                      sr, t0, sign, count)
+            return f
+
+        # Round schedule: (subset size, window multiplier).  Window widths
+        # are multiples of the user batch size so batch-argmin boundaries
+        # stay reference-exact.
+        rounds = [(c, 1)] + [(max(64, c // s), m)
+                             for s, m in ((4, 1), (8, 2), (16, 4))]
+
+        def direction(sign, t_lim, prev0, best, mul):
+            state = (prev0, best, mul, t_lim < 1, jnp.ones(c, jnp.float32))
+            for i, (b, m) in enumerate(rounds):
+                h = window * m
+                if b == c:
+                    dense = eval_at(sign, h)(state[4])
+                    state = chain_call(dense, t_lim, state, sign)
+                else:
+                    order = jnp.argsort(state[3])      # stable: actives first
+                    sel = order[:b]
+                    sub = tuple(x[sel] for x in state)
+                    dense = eval_at(sign, h, sel)(sub[4])
+                    sub = chain_call(dense, t_lim[sel], sub, sign)
+                    state = tuple(x.at[sel].set(s) for x, s in zip(state, sub))
+            state = walk(eval_at(sign, window), t_lim, state, sign, window)
+            return state
+
+        prev, best, mul, _, _ = direction(1.0, t_pos, s0, s0, jnp.zeros(c, jnp.float32))
         neg_prev0 = s0 if mode == "indulgent" else prev
-        _, best, mul = _greedy_walk(eval_win(-1.0, window), t_neg, neg_prev0,
-                                    best, mul, -1.0, window)
-    elif mode == "batch":
-        prev, best, mul = _batch_walk(eval_win(1.0, window), t_pos, s0, s0,
-                                      jnp.zeros(c, jnp.float32), 1.0, window)
-        _, best, mul = _batch_walk(eval_win(-1.0, window), t_neg, prev,
-                                   best, mul, -1.0, window)
+        _, best, mul, _, _ = direction(-1.0, t_neg, neg_prev0, best, mul)
     else:
         raise ValueError(f"unknown mode {mode}")
 
@@ -297,14 +381,14 @@ def optimize(optimizer, templates, alignments, featuremap: fm.Dt3Featuremap):
         return []
     if featuremap.feature_size == (0, 0):
         return [None] * len(templates)
-    lmax = max(max(geo.as_lines(t).shape[0] for t in templates), 1)
+    lmax = max(max(geo.as_lines_np(t).shape[0] for t in templates), 1)
     lmax = -(-lmax // 4) * 4           # bucket shapes for jit-cache reuse
     c = len(templates)
     cb = -(-c // 8) * 8
     lines = np.zeros((cb, lmax, 4), np.float32)
     mask = np.zeros((cb, lmax), bool)
     for i, t in enumerate(templates):
-        arr = np.asarray(geo.as_lines(t))
+        arr = geo.as_lines_np(t)
         lines[i, :arr.shape[0]] = arr
         mask[i, :arr.shape[0]] = True
     av = np.zeros((cb, 2), np.float32)

@@ -85,8 +85,8 @@ def _pair_by_length(tmpl_lengths, scene_lengths, scene_ids, max_tmpl, max_scene)
 def establish_search_strategy(strategy, tmpl_lines, scene_lines) -> np.ndarray:
     """Returns ``(M, 2)`` array of (tmpl_line_idx, scene_line_idx)."""
     from ..core import geometry as geo
-    tmpl = np.asarray(geo.as_lines(tmpl_lines))
-    scene = np.asarray(geo.as_lines(scene_lines))
+    tmpl = geo.as_lines_np(tmpl_lines)
+    scene = geo.as_lines_np(scene_lines)
     if tmpl.shape[0] == 0 or scene.shape[0] == 0:
         return np.zeros((0, 2), np.int64)
 
@@ -114,7 +114,7 @@ def filter_in_range(lines, center_position, min_radius, max_radius):
     """Reference ``concentricrange.h:73-84``: indices of lines whose centers
     fall in ``(min_radius - eps, max_radius)``."""
     from ..core import geometry as geo
-    arr = np.asarray(geo.as_lines(lines))
+    arr = geo.as_lines_np(lines)
     centers = (arr[:, 0:2] + arr[:, 2:4]) / 2
     cp = np.asarray(center_position, np.float32)
     radius = np.sqrt(((centers - cp) ** 2).sum(axis=1)).astype(np.float32)
