@@ -40,24 +40,27 @@ def main():
     lengths = of.get_template_lengths(templates)
     bank = of.prepare_templates(templates)
 
-    def run(scene):
-        fm = of.build_featuremap(scene, params, pad_to=128)
-        matches = of.search(of.DefaultMatch(), searcher, optimizer, fm,
-                            bank, scene)
-        pen = of.penalize(of.ExponentialPenalty(1.5), matches, lengths)
-        return of.sort_matches(pen)[:10]
+    def run(scene_list):
+        fms = of.build_featuremap_batch(scene_list, params, pad_to=128)
+        all_matches = of.search_batch(of.DefaultMatch(), searcher, optimizer,
+                                      fms, bank, scene_list)
+        out = []
+        for matches in all_matches:
+            pen = of.penalize(of.ExponentialPenalty(1.5), matches, lengths)
+            out.append(of.sort_matches(pen)[:10])
+        return out
 
     # Warmup / compile every shape bucket once.
     t0 = time.perf_counter()
-    for s in scenes:
-        run(s)
+    run(scenes)
     warm = time.perf_counter() - t0
 
     n = len(scenes)
     t0 = time.perf_counter()
-    best = [run(s) for s in scenes]
+    best_all = run(scenes)
     wall = time.perf_counter() - t0
     sps = n / wall
+    best = best_all
 
     print(f"# warmup {warm:.1f}s; {n} scenes in {wall:.3f}s; "
           f"best[0]: tmpl={best[0][0].tmpl_idx} score={best[0][0].score:.6f}",

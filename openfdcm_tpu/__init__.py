@@ -27,6 +27,9 @@ from .matching.penalty import DefaultPenalty, ExponentialPenalty, penalize
 from .matching.match import (
     Match, DefaultMatch, search, sort_matches, TemplateBank, prepare_templates,
 )
+from .matching.pipeline import (
+    Dt3FeaturemapBatch, build_featuremap_batch, search_batch,
+)
 
 # Reference spells the enum `openfdcm.distance`.
 distance = Distance
@@ -41,6 +44,7 @@ __all__ = [
     "BatchOptimize", "DenseOptimize", "optimize", "DefaultPenalty",
     "ExponentialPenalty", "penalize", "Match", "DefaultMatch", "search",
     "sort_matches", "TemplateBank", "prepare_templates", "geometry", "io",
+    "Dt3FeaturemapBatch", "build_featuremap_batch", "search_batch",
     "enable_compilation_cache",
 ]
 

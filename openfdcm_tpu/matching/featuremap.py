@@ -246,29 +246,14 @@ def build_featuremap(scene, params: Dt3Params = Dt3Params(),
     )
 
 
-@partial(jax.jit, static_argnames=("depth", "phys_h", "phys_w", "metric", "angles"))
-def _featuremap_device(lines, line_mask, logical_hw, wmat, *,
-                       depth, phys_h, phys_w, metric, angles):
-    """The whole DT3 build as ONE device dispatch: orientation classify ->
-    seed scatter -> separable exact DT -> orientation propagation ->
-    directional line integral."""
-    angle_arr = jnp.asarray(np.asarray(angles, np.float32))
+def _indicator(lines, line_mask, logical_hw, *, depth, phys_h, phys_w,
+               max_points):
+    """Orientation classify + clip/rasterize + seed scatter: the DT3 seed
+    indicator stack ``(depth, PH, PW)`` for one scene."""
+    angle_arr = jnp.asarray(make_angles(depth))
     theta = geo.get_angle(lines)
     slice_of_line = closest_orientation_idx(angle_arr, theta)
-    dt3 = _build_dt_stack(lines, slice_of_line, line_mask, logical_hw,
-                          depth=depth, max_points=max(phys_h, phys_w),
-                          phys_h=phys_h, phys_w=phys_w, metric=metric)
-    dt3 = propagate_orientation(dt3, wmat)
-    return integral.line_integral_stack(dt3, list(angles), logical_hw=logical_hw)
 
-
-@partial(jax.jit, static_argnames=("depth", "max_points", "phys_h", "phys_w", "metric"))
-def _build_dt_stack(lines, slice_of_line, line_mask, logical_hw, *,
-                    depth, max_points, phys_h, phys_w, metric):
-    """Rasterize lines (clipped to the traced logical box), scatter seeds
-    into the orientation-slice of each line, and run the separable exact DT
-    on the whole stack.  Physical padding beyond the (traced) logical region
-    is zeroed so downstream integrals see zero contributions there."""
     lhw = logical_hw.astype(jnp.float32)
     box = jnp.stack([jnp.zeros((), jnp.float32), lhw[1] - 1.0,
                      jnp.zeros((), jnp.float32), lhw[0] - 1.0])
@@ -281,12 +266,28 @@ def _build_dt_stack(lines, slice_of_line, line_mask, logical_hw, *,
     flat_idx = jnp.where(pmask, flat_idx, depth * phys_h * phys_w)
     ind = jnp.full((depth * phys_h * phys_w,), F32_MAX, jnp.float32)
     ind = ind.at[flat_idx.reshape(-1)].set(0.0, mode="drop")
-    dt3 = dt_from_indicator(ind.reshape(depth, phys_h, phys_w), metric=metric)
+    return ind.reshape(depth, phys_h, phys_w)
 
+
+def _logical_mask(logical_hw, phys_h, phys_w):
     ys = jnp.arange(phys_h)[:, None]
     xs = jnp.arange(phys_w)[None, :]
-    logical = (ys < logical_hw[0]) & (xs < logical_hw[1])
-    return jnp.where(logical[None], dt3, 0.0)
+    return (ys < logical_hw[0]) & (xs < logical_hw[1])
+
+
+@partial(jax.jit, static_argnames=("depth", "phys_h", "phys_w", "metric", "angles"))
+def _featuremap_device(lines, line_mask, logical_hw, wmat, *,
+                       depth, phys_h, phys_w, metric, angles):
+    """The whole DT3 build as ONE device dispatch: orientation classify ->
+    seed scatter -> separable exact DT -> orientation propagation ->
+    directional line integral."""
+    ind = _indicator(lines, line_mask, logical_hw, depth=depth,
+                     phys_h=phys_h, phys_w=phys_w,
+                     max_points=max(phys_h, phys_w))
+    dt3 = dt_from_indicator(ind, metric=metric)
+    dt3 = jnp.where(_logical_mask(logical_hw, phys_h, phys_w)[None], dt3, 0.0)
+    dt3 = propagate_orientation(dt3, wmat)
+    return integral.line_integral_stack(dt3, list(angles), logical_hw=logical_hw)
 
 
 # ---------------------------------------------------------------------------

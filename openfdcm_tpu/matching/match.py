@@ -98,13 +98,12 @@ def prepare_templates(templates) -> TemplateBank:
     return TemplateBank(jnp.asarray(tbank), jnp.asarray(tmask), tuple(tmpls))
 
 
-@partial(jax.jit, static_argnames=("lmax", "hw", "mode", "window", "dense_steps"))
-def _search_device(tmpl_lines, tmpl_mask, tmpl_of_cand, cand_tmpl_line,
-                   cand_scene_line, scene, dt3_flat, angles, scene_tr,
-                   feature_size, *, lmax, hw, mode, window, dense_steps):
-    """Candidate generation + batched optimize + transform combine as ONE
-    device dispatch.  Returns ``(scores (C,), transforms (C,2,3), valid (C,))``
-    with ``C = 2 * P`` (both alignment polarities, reference emplace order
+def _search_core(tmpl_lines, tmpl_mask, tmpl_of_cand, cand_tmpl_line,
+                 cand_scene_line, scene, dt3_flat, angles, scene_tr,
+                 feature_size, *, lmax, hw, mode, window, dense_steps):
+    """Candidate generation + batched optimize + transform combine.
+    Returns ``(scores (C,), transforms (C,2,3), valid (C,))`` with
+    ``C = 2 * P`` (both alignment polarities, reference emplace order
     ``defaultmatch.cpp:62-70``)."""
     aligned, transforms, align_vecs = _make_candidates(
         tmpl_lines, tmpl_mask, tmpl_of_cand, cand_tmpl_line,
@@ -125,6 +124,25 @@ def _search_device(tmpl_lines, tmpl_mask, tmpl_of_cand, cand_tmpl_line,
     mats = transforms.reshape(c, 2, 3)
     mats = mats.at[:, :, 2].add(translations)
     return scores, mats, valid
+
+
+_search_device = partial(jax.jit, static_argnames=(
+    "lmax", "hw", "mode", "window", "dense_steps"))(_search_core)
+
+
+@partial(jax.jit, static_argnames=("lmax", "hw", "mode", "window", "dense_steps"))
+def _search_device_batch(tmpl_lines, tmpl_mask, pair_t, pair_tl, pair_sl,
+                         scenes, dt3_flat, angles, scene_tr, feature_size,
+                         *, lmax, hw, mode, window, dense_steps):
+    """Scene-batched search: one dispatch scores a whole scene batch.
+    Leading axis S on ``pair_*``, ``scenes``, ``dt3_flat``, ``scene_tr``,
+    ``feature_size``; the template bank and angles are shared."""
+    def one(pt, ptl, psl, sc, dt, tr, fs):
+        return _search_core(tmpl_lines, tmpl_mask, pt, ptl, psl, sc, dt,
+                            angles, tr, fs, lmax=lmax, hw=hw, mode=mode,
+                            window=window, dense_steps=dense_steps)
+    return jax.vmap(one)(pair_t, pair_tl, pair_sl, scenes, dt3_flat,
+                         scene_tr, feature_size)
 
 
 def search(matcher, searcher, optimizer, featuremap: fm.Dt3Featuremap,

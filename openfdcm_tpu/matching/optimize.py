@@ -275,10 +275,9 @@ def optimize_candidates(dt3_flat, angles, scene_tr, hw, feature_size,
                                   scene_tr, safe_rast, t0, sign, count)
         return f
 
-    s0 = _window_scores(dt3_flat, hw, slice_idx, endpoints, lm, scene_tr,
-                        safe_rast, jnp.zeros(c, jnp.float32), 1.0, 1)[:, 0]
-
     if mode == "dense":
+        s0 = _window_scores(dt3_flat, hw, slice_idx, endpoints, lm, scene_tr,
+                            safe_rast, jnp.zeros(c, jnp.float32), 1.0, 1)[:, 0]
         win = 64
         best, mul = s0, jnp.zeros(c, jnp.float32)
         for sign, t_lim in ((1.0, t_pos), (-1.0, t_neg)):
@@ -303,12 +302,12 @@ def optimize_candidates(dt3_flat, angles, scene_tr, hw, feature_size,
         # Dense-window evaluation with COMPACTION ROUNDS.  Measured on the
         # pose assets, >=75% of candidates stop their greedy walk within the
         # first window and p99.9 by step ~31 — so after one full-width round,
-        # each further round stable-sorts the not-done candidates to the
-        # front, gathers that shrinking subset, and evaluates a wider window
-        # for it (per-candidate resume step keeps overflow exact).  A final
-        # lockstep while_loop finishes any stragglers.  All rounds are one
-        # fused device dispatch; the expensive part (the probe gather) only
-        # ever runs on still-active candidates.
+        # each further round compacts the not-done candidates (cumsum slots,
+        # no sort) and evaluates a wider window for the shrinking subset
+        # (per-candidate resume step keeps overflow exact).  A final lockstep
+        # while_loop finishes any stragglers.  All rounds are one fused
+        # device dispatch; the expensive part (the probe gather) only ever
+        # runs on still-active candidates.
         walk = _batch_walk if mode == "batch" else _greedy_walk
 
         def chain_call(scores, t_lim, state, sign):
@@ -333,16 +332,26 @@ def optimize_candidates(dt3_flat, angles, scene_tr, hw, feature_size,
         rounds = [(c, 1)] + [(max(64, c // s), m)
                              for s, m in ((4, 1), (8, 2), (16, 4))]
 
-        def direction(sign, t_lim, prev0, best, mul):
+        def compact_sel(done, b):
+            """Indices of (up to b) active candidates — cumsum compaction,
+            no sort.  Unfilled slots default to candidate 0: processing a
+            done candidate is a no-op and duplicate slots write identical
+            state back, so correctness is unaffected."""
+            active = ~done
+            slot = jnp.where(active, jnp.cumsum(active.astype(jnp.int32)) - 1, b)
+            return jnp.zeros(b, jnp.int32).at[slot].set(
+                jnp.arange(c, dtype=jnp.int32), mode="drop")
+
+        def direction(sign, t_lim, prev0, best, mul, dense0=None):
             state = (prev0, best, mul, t_lim < 1, jnp.ones(c, jnp.float32))
             for i, (b, m) in enumerate(rounds):
                 h = window * m
                 if b == c:
-                    dense = eval_at(sign, h)(state[4])
+                    dense = dense0 if (i == 0 and dense0 is not None) \
+                        else eval_at(sign, h)(state[4])
                     state = chain_call(dense, t_lim, state, sign)
                 else:
-                    order = jnp.argsort(state[3])      # stable: actives first
-                    sel = order[:b]
+                    sel = compact_sel(state[3], b)
                     sub = tuple(x[sel] for x in state)
                     dense = eval_at(sign, h, sel)(sub[4])
                     sub = chain_call(dense, t_lim[sel], sub, sign)
@@ -350,7 +359,12 @@ def optimize_candidates(dt3_flat, angles, scene_tr, hw, feature_size,
             state = walk(eval_at(sign, window), t_lim, state, sign, window)
             return state
 
-        prev, best, mul, _, _ = direction(1.0, t_pos, s0, s0, jnp.zeros(c, jnp.float32))
+        # Fused step-0 + first window: one gather covers the aligned score
+        # and the whole first round.
+        first = eval_at(1.0, window + 1)(jnp.zeros(c, jnp.float32))
+        s0 = first[:, 0]
+        prev, best, mul, _, _ = direction(
+            1.0, t_pos, s0, s0, jnp.zeros(c, jnp.float32), dense0=first[:, 1:])
         neg_prev0 = s0 if mode == "indulgent" else prev
         _, best, mul, _, _ = direction(-1.0, t_neg, neg_prev0, best, mul)
     else:

@@ -35,12 +35,14 @@ def penalize(penalty, matches, template_lengths):
     match's template index exceeds the lengths vector, mirroring the
     reference's ``std::out_of_range`` (``defaultpenalty.cpp:42-57``)."""
     lengths = np.asarray(template_lengths, np.float32)
-    out = []
-    for m in matches:
-        if m.tmpl_idx >= len(lengths):
-            raise IndexError(
-                "In penalize, the size of templatelengths is not consistent "
-                "with match template indices")
-        score = float(penalty.apply(np.float32(m.score), lengths[m.tmpl_idx]))
-        out.append(type(m)(m.tmpl_idx, score, m.transform))
-    return out
+    if not matches:
+        return []
+    idx = np.fromiter((m.tmpl_idx for m in matches), np.int64, len(matches))
+    if idx.size and int(idx.max()) >= len(lengths):
+        raise IndexError(
+            "In penalize, the size of templatelengths is not consistent "
+            "with match template indices")
+    scores = np.fromiter((m.score for m in matches), np.float32, len(matches))
+    new_scores = penalty.apply(scores, lengths[idx])
+    return [type(m)(m.tmpl_idx, float(s), m.transform)
+            for m, s in zip(matches, new_scores)]

@@ -1,0 +1,207 @@
+"""Scene-batched matching pipeline.
+
+The reference processes scenes one at a time (its workloads loop in Python,
+e.g. the pose notebook's per-scene cell).  On TPU, batching scenes into one
+device dispatch amortizes dispatch latency and fills the chip:
+``build_featuremap_batch`` builds a whole ``[S, depth, PH, PW]`` DT3 stack in
+one call, and ``search_batch`` scores every scene's candidate set in one
+call.  This is also the data-parallel unit for multi-chip: shard the scene
+axis of the batch over a mesh (see :mod:`openfdcm_tpu.parallel`).
+
+Results are identical (per scene) to the one-at-a-time API as long as the
+shape buckets match; scores are bit-equal, transforms equal up to last-ulp
+FMA contraction differences between compiled programs.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import geometry as geo
+from . import featuremap as fm
+from . import optimize as opt
+from .match import Match, TemplateBank, prepare_templates, _bucket, \
+    _search_device_batch
+from .search import establish_search_strategy
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Dt3FeaturemapBatch:
+    """A batch of DT3 feature maps on a shared physical canvas."""
+    dt3: jax.Array                 # (S, depth, PH, PW)
+    angles: jax.Array              # (depth,)
+    scene_translations: jax.Array  # (S, 2)
+    feature_sizes: tuple           # per-scene logical (w, h)
+    params: fm.Dt3Params
+
+    def tree_flatten(self):
+        return (self.dt3, self.angles, self.scene_translations), \
+            (self.feature_sizes, self.params)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, feature_sizes=aux[0], params=aux[1])
+
+    def __len__(self):
+        return self.dt3.shape[0]
+
+    def featuremap(self, i: int) -> fm.Dt3Featuremap:
+        """View one scene's feature map (shares the device buffer)."""
+        return fm.Dt3Featuremap(
+            dt3=self.dt3[i], angles=self.angles,
+            scene_translation=self.scene_translations[i],
+            feature_size=self.feature_sizes[i], params=self.params)
+
+
+@partial(jax.jit, static_argnames=("depth", "phys_h", "phys_w", "metric", "angles"))
+def _featuremap_device_batch(lines, line_mask, logical_hw, wmat, *,
+                             depth, phys_h, phys_w, metric, angles):
+    """Batched DT3 build.  The indicator scatter, orientation propagation,
+    and line integral vmap trivially; the separable DT runs UN-vmapped on
+    the whole ``(S, depth, PH, PW)`` stack — its row pass flattens all
+    leading axes into fixed-size row blocks, so peak memory is independent
+    of the scene-batch size."""
+    from ..core.dt import dt_from_indicator
+    from ..core import integral
+
+    mp = max(phys_h, phys_w)
+    ind = jax.vmap(lambda l, m, lhw: fm._indicator(
+        l, m, lhw, depth=depth, phys_h=phys_h, phys_w=phys_w, max_points=mp))(
+        lines, line_mask, logical_hw)
+    dt3 = dt_from_indicator(ind, metric=metric)
+    dt3 = jnp.where(jax.vmap(lambda lhw: fm._logical_mask(lhw, phys_h, phys_w))(
+        logical_hw)[:, None], dt3, 0.0)
+    dt3 = jax.vmap(lambda d: fm.propagate_orientation(d, wmat))(dt3)
+    return jax.vmap(lambda d, lhw: integral.line_integral_stack(
+        d, list(angles), logical_hw=lhw))(dt3, logical_hw)
+
+
+def build_featuremap_batch(scenes, params: fm.Dt3Params = fm.Dt3Params(),
+                           pad_to: int = 128) -> Dt3FeaturemapBatch:
+    """Build DT3 feature maps for a list of scenes in ONE device dispatch.
+
+    All scenes share a physical canvas (the max logical bucket) and a line
+    bucket; each scene's logical region is reference-exact.
+    """
+    arrs = [geo.as_lines_np(s) for s in scenes]
+    metas = [fm.scene_centered_translation(a, params.padding) for a in arrs]
+    phys = max(max(w, h) for _, (w, h) in metas)
+    phys = -(-phys // pad_to) * pad_to
+    nb = max(-(-a.shape[0] // 128) * 128 for a in arrs)
+
+    s_count = len(arrs)
+    lines = np.zeros((s_count, nb, 4), np.float32)
+    mask = np.zeros((s_count, nb), bool)
+    lhw = np.zeros((s_count, 2), np.int32)
+    trs = np.zeros((s_count, 2), np.float32)
+    for i, (a, (tr, (w, h))) in enumerate(zip(arrs, metas)):
+        lines[i, : a.shape[0]] = a + np.concatenate([tr, tr]).astype(np.float32)
+        mask[i, : a.shape[0]] = True
+        lhw[i] = (h, w)
+        trs[i] = tr
+
+    angles = fm.make_angles(params.depth)
+    wmat = fm.propagation_weights(angles, params.dt3_coeff)
+    dt3 = _featuremap_device_batch(
+        jnp.asarray(lines), jnp.asarray(mask), jnp.asarray(lhw),
+        jnp.asarray(wmat), depth=params.depth, phys_h=phys, phys_w=phys,
+        metric=params.distance, angles=tuple(float(a) for a in angles))
+    return Dt3FeaturemapBatch(
+        dt3=dt3, angles=jnp.asarray(angles), scene_translations=jnp.asarray(trs),
+        feature_sizes=tuple((w, h) for _, (w, h) in metas), params=params)
+
+
+def search_batch(matcher, searcher, optimizer, featuremaps: Dt3FeaturemapBatch,
+                 templates, scenes, scene_chunk: int = 8) -> list:
+    """Per-scene ``search`` over a scene batch in few device dispatches.
+
+    Scenes are processed in fixed-size chunks of ``scene_chunk`` (the last
+    chunk padded by repetition, results discarded) to bound HBM working-set
+    while amortizing dispatch latency.
+
+    Returns ``list[list[Match]]`` (unsorted, reference emplace order per
+    scene, ``defaultmatch.cpp:62-70``).
+    """
+    s_total = len(featuremaps)
+    if s_total > scene_chunk:
+        # Even-sized chunks minimize padding waste (10 scenes, cap 8 ->
+        # 2 chunks of 5, not 8 + 2-padded-to-8).
+        n_chunks = -(-s_total // scene_chunk)
+        scene_chunk = -(-s_total // n_chunks)
+        out = []
+        for lo in range(0, s_total, scene_chunk):
+            hi = min(lo + scene_chunk, s_total)
+            idx = list(range(lo, hi))
+            pad = idx + [lo] * (scene_chunk - len(idx))
+            sub = Dt3FeaturemapBatch(
+                dt3=featuremaps.dt3[np.asarray(pad)],
+                angles=featuremaps.angles,
+                scene_translations=featuremaps.scene_translations[np.asarray(pad)],
+                feature_sizes=tuple(featuremaps.feature_sizes[i] for i in pad),
+                params=featuremaps.params)
+            res = search_batch(matcher, searcher, optimizer, sub, templates,
+                               [scenes[i] for i in pad], scene_chunk)
+            out.extend(res[: hi - lo])
+        return out
+    del matcher
+    bank = templates if isinstance(templates, TemplateBank) else prepare_templates(templates)
+    s_count = len(featuremaps)
+    arrs = [geo.as_lines_np(s) for s in scenes]
+
+    per_scene_pairs = []
+    for a in arrs:
+        pairs = []
+        for ti, t in enumerate(bank.host):
+            if t.shape[0] == 0:
+                continue
+            for tl, sl in establish_search_strategy(searcher, t, a):
+                pairs.append((ti, tl, sl))
+        per_scene_pairs.append(np.asarray(pairs, np.int32).reshape(-1, 3))
+
+    pmax = max((p.shape[0] for p in per_scene_pairs), default=0)
+    if pmax == 0:
+        return [[] for _ in range(s_count)]
+    pb = _bucket(pmax)
+    nb = _bucket(max(a.shape[0] for a in arrs), 128)
+
+    pair_arr = np.zeros((s_count, pb, 3), np.int32)
+    scene_arr = np.zeros((s_count, nb, 4), np.float32)
+    for i, (p, a) in enumerate(zip(per_scene_pairs, arrs)):
+        pair_arr[i, : p.shape[0]] = p
+        scene_arr[i, : a.shape[0]] = a
+
+    mode, window = opt.optimizer_mode(optimizer)
+    d = featuremaps.dt3.shape[1]
+    ph, pw = featuremaps.dt3.shape[2], featuremaps.dt3.shape[3]
+    fs = np.asarray([[float(w), float(h)] for (w, h) in featuremaps.feature_sizes],
+                    np.float32)
+    dense_steps = (-(-int(fs.max()) // 64) * 64) if mode == "dense" else 1
+
+    scores, mats, valid = _search_device_batch(
+        bank.lines, bank.mask,
+        jnp.asarray(pair_arr[:, :, 0]), jnp.asarray(pair_arr[:, :, 1]),
+        jnp.asarray(pair_arr[:, :, 2]), jnp.asarray(scene_arr),
+        featuremaps.dt3.reshape(s_count, -1), featuremaps.angles,
+        featuremaps.scene_translations, jnp.asarray(fs),
+        lmax=bank.lmax, hw=(ph, pw), mode=mode, window=max(window, 1),
+        dense_steps=dense_steps)
+
+    scores = np.asarray(scores)
+    valid = np.asarray(valid)
+    mats = np.asarray(mats)
+
+    out = []
+    for i, pairs in enumerate(per_scene_pairs):
+        matches = []
+        for j in range(2 * pairs.shape[0]):
+            if not valid[i, j]:
+                continue
+            matches.append(Match(int(pairs[j // 2, 0]), float(scores[i, j]),
+                                 mats[i, j].copy()))
+        out.append(matches)
+    return out

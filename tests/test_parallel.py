@@ -37,7 +37,9 @@ def test_sharded_search_matches_single_device():
     for a, b in zip(single, sharded):
         assert a.tmpl_idx == b.tmpl_idx
         assert a.score == b.score
-        np.testing.assert_array_equal(a.transform, b.transform)
+        # The combine arithmetic compiles into different programs (sharded vs
+        # not), so FMA contraction may round the last ulp differently.
+        np.testing.assert_allclose(a.transform, b.transform, rtol=1e-6, atol=1e-5)
 
 
 def test_sharded_2d_scene_batch():

@@ -1,0 +1,52 @@
+"""Scene-batched pipeline must reproduce the one-at-a-time API per scene."""
+import numpy as np
+import jax.numpy as jnp
+
+import openfdcm_tpu as of
+from tests.utils import create_lines, make_rotation
+
+
+def _make_scene(tmpl, angle, shift):
+    rot = make_rotation(angle)
+    scene = np.array(of.geometry.transform(jnp.asarray(tmpl), jnp.asarray(rot)))
+    return scene + np.float32(shift)
+
+
+def test_batch_matches_single():
+    tmpl = np.asarray(create_lines(10, 80))
+    scenes = [_make_scene(tmpl, np.pi, 3.0), _make_scene(tmpl, np.pi / 3, 7.0)]
+    params = of.Dt3Params(4, 5.0, 2.2, of.Distance.L2)
+    bank = of.prepare_templates([tmpl])
+    searcher = of.DefaultSearch(4, 10)
+    optimizer = of.BatchOptimize(10)
+
+    batch = of.build_featuremap_batch(scenes, params, pad_to=64)
+    batched = of.search_batch(of.DefaultMatch(), searcher, optimizer,
+                              batch, bank, scenes)
+
+    for i, scene in enumerate(scenes):
+        # Single-scene path on the SAME physical canvas/buckets for bit parity.
+        fmap = batch.featuremap(i)
+        single = of.search(of.DefaultMatch(), searcher, optimizer, fmap,
+                           bank, scene)
+        assert len(single) == len(batched[i]) > 0
+        for a, b in zip(single, batched[i]):
+            assert a.tmpl_idx == b.tmpl_idx
+            assert a.score == b.score
+            np.testing.assert_allclose(a.transform, b.transform,
+                                       rtol=1e-6, atol=1e-5)
+
+
+def test_batch_featuremap_matches_single_build():
+    tmpl = np.asarray(create_lines(8, 60))
+    scenes = [_make_scene(tmpl, 0.7, 4.0), _make_scene(tmpl, -0.4, 9.0)]
+    params = of.Dt3Params(4, 5.0, 1.5, of.Distance.L2)
+    batch = of.build_featuremap_batch(scenes, params, pad_to=64)
+    for i, scene in enumerate(scenes):
+        w, h = batch.feature_sizes[i]
+        single = of.build_featuremap(scene, params, pad_to=None)
+        np.testing.assert_array_equal(
+            np.asarray(batch.dt3[i])[:, :h, :w],
+            np.asarray(single.dt3)[:, :h, :w])
+        np.testing.assert_array_equal(np.asarray(batch.scene_translations[i]),
+                                      np.asarray(single.scene_translation))
