@@ -11,12 +11,15 @@ Public API mirrors the reference's Python module
 :mod:`openfdcm_tpu.compat` for a drop-in ``import openfdcm`` shim.
 """
 from .core.types import Distance
-from .core import geometry, io
+from .core import geometry, io, utils
+from .core.errors import OpenFDCMError, PointOutOfBound, ImgProcError
 from .core.io import read, write
 from .core.geometry import get_template_lengths
 from .matching.featuremap import (
     Dt3Params, Dt3Featuremap, build_featuremap, evaluate, minmax_translation,
+    save_featuremap, load_featuremap,
 )
+from . import profiling
 from .matching.search import (
     DefaultSearch, ConcentricRangeStrategy, establish_search_strategy,
 )
@@ -45,6 +48,7 @@ __all__ = [
     "ExponentialPenalty", "penalize", "Match", "DefaultMatch", "search",
     "sort_matches", "TemplateBank", "prepare_templates", "geometry", "io",
     "Dt3FeaturemapBatch", "build_featuremap_batch", "search_batch",
+    "OpenFDCMError", "PointOutOfBound", "ImgProcError", "utils",
     "enable_compilation_cache",
 ]
 

@@ -19,6 +19,11 @@ import zlib
 
 import numpy as np
 
+try:  # native codec (C++, zlib) — see native/openfdcm_native.cpp
+    from .. import _native
+except ImportError:  # pragma: no cover - fallback is the pure-Python codec
+    _native = None
+
 SIGNATURE = b"OPENFDCM" + b"\x00" * 8
 _HEADER_FMT = "<HIHH8sHHHHHHIBHQ"
 _HEADER_SIZE = struct.calcsize(_HEADER_FMT)
@@ -75,11 +80,35 @@ def loads(data: bytes) -> np.ndarray:
 
 def write(filepath: str, lines, compress: bool = True) -> None:
     """Write a line array to disk.  Reference ``serialization.h:104-117``."""
+    arr = np.ascontiguousarray(np.asarray(lines, np.float32).reshape(-1, 4))
+    if _native is not None:
+        t = time.gmtime()
+        blob = _native.dumps(arr.tobytes(), compress, t.tm_yday - 1,
+                             t.tm_year - 1900)
+        with open(filepath, "wb") as f:
+            f.write(blob)
+        return
     with open(filepath, "wb") as f:
-        f.write(dumps(np.asarray(lines, np.float32), compress))
+        f.write(dumps(arr, compress))
 
 
 def read(filepath: str) -> np.ndarray:
     """Read a line array (``(N, 4)`` float32).  Reference ``serialization.h:119-132``."""
+    if _native is not None:
+        payload, n = _native.read_file(filepath)
+        return np.frombuffer(payload, dtype="<f4").reshape(n, 4).copy()
     with open(filepath, "rb") as f:
         return loads(f.read())
+
+
+def read_batch(filepaths, num_threads: int = 0) -> list:
+    """Read many line files (C++ thread-pool loader when available).
+
+    The data-loading analogue of the reference's thread-pool parallelism —
+    the pose workload reads 421 templates + 40 scenes per run.
+    """
+    if _native is not None:
+        out = _native.read_batch(list(filepaths), num_threads)
+        return [np.frombuffer(p, dtype="<f4").reshape(n, 4).copy()
+                for p, n in out]
+    return [read(p) for p in filepaths]

@@ -79,6 +79,31 @@ class Dt3Featuremap:
         return self.scene_translation
 
 
+def save_featuremap(filepath: str, fm: Dt3Featuremap) -> None:
+    """Persist a built DT3 feature map (the checkpoint analogue for this
+    domain — prebuilt DT3 volumes are the only expensive state; SURVEY §5)."""
+    np.savez_compressed(
+        filepath,
+        dt3=np.asarray(fm.dt3), angles=np.asarray(fm.angles),
+        scene_translation=np.asarray(fm.scene_translation),
+        feature_size=np.asarray(fm.feature_size, np.int64),
+        params=np.asarray([fm.params.depth, fm.params.dt3_coeff,
+                           fm.params.padding, int(fm.params.distance)],
+                          np.float64))
+
+
+def load_featuremap(filepath: str) -> Dt3Featuremap:
+    """Load a feature map written by :func:`save_featuremap`."""
+    z = np.load(filepath)
+    p = z["params"]
+    params = Dt3Params(int(p[0]), float(p[1]), float(p[2]), Distance(int(p[3])))
+    return Dt3Featuremap(
+        dt3=jnp.asarray(z["dt3"]), angles=jnp.asarray(z["angles"]),
+        scene_translation=jnp.asarray(z["scene_translation"]),
+        feature_size=(int(z["feature_size"][0]), int(z["feature_size"][1])),
+        params=params)
+
+
 def empty_featuremap(params: Dt3Params = Dt3Params()) -> Dt3Featuremap:
     """The reference's empty-scene result (``dt3cpu.h:180-181``)."""
     return Dt3Featuremap(

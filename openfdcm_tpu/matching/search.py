@@ -10,6 +10,11 @@ import dataclasses
 
 import numpy as np
 
+try:  # native pair generation — see native/openfdcm_native.cpp
+    from .. import _native
+except ImportError:  # pragma: no cover
+    _native = None
+
 _F32_EPS = np.float32(1.1920929e-07)
 
 
@@ -70,6 +75,15 @@ def _closest_desc(sorted_desc: np.ndarray, value: float) -> int:
 def _pair_by_length(tmpl_lengths, scene_lengths, scene_ids, max_tmpl, max_scene):
     """Shared core of both strategies.  ``scene_ids`` maps the filtered/sorted
     scene order back to original indices."""
+    if _native is not None:
+        raw = _native.default_search_pairs(
+            np.ascontiguousarray(tmpl_lengths, np.float32).tobytes(),
+            np.ascontiguousarray(scene_lengths, np.float32).tobytes(),
+            int(max_tmpl), int(max_scene))
+        pairs = np.frombuffer(raw, np.int32).reshape(-1, 2).astype(np.int64)
+        if pairs.size:
+            pairs[:, 1] = np.asarray(scene_ids)[pairs[:, 1]]
+        return pairs
     order_t = np.argsort(-tmpl_lengths, kind="stable")
     order_s = np.argsort(-scene_lengths, kind="stable")
     sorted_scene_len = scene_lengths[order_s]

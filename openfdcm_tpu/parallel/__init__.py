@@ -3,8 +3,10 @@ from .sharded import (
     make_mesh, pad_to_multiple, optimize_candidates_sharded,
     optimize_candidates_sharded_batch, topk_candidates,
 )
+from .distributed import initialize, global_topk
 
 __all__ = [
     "make_mesh", "pad_to_multiple", "optimize_candidates_sharded",
     "optimize_candidates_sharded_batch", "topk_candidates",
+    "initialize", "global_topk",
 ]

@@ -123,3 +123,25 @@ def test_get_template_lengths():
     tmpl = create_lines(10, 7)
     lens = geo.get_template_lengths([tmpl])
     assert np.isclose(lens[0], 70.0, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# argsort / binary_search — reference math.test.cpp:31-64
+# ---------------------------------------------------------------------------
+
+def test_argsort_reference_cases():
+    from openfdcm_tpu.core.utils import argsort
+    unsorted = [-4, 3, -1, 2]
+    assert argsort(unsorted, descending=True) == [1, 3, 2, 0]
+    assert argsort(unsorted) == [0, 2, 3, 1]
+
+
+def test_binary_search_reference_cases():
+    from openfdcm_tpu.core.utils import binary_search
+    vec = [0, 2, 3, 6, 7, 10, 14, 30, 40, 123]
+    assert binary_search(vec, 0) == 0
+    assert binary_search(vec, 123) == 9
+    assert binary_search(vec, 2) == 1
+    assert binary_search(vec, 40) == 8
+    assert binary_search(vec, 5) == 3
+    assert binary_search(vec, 4) == 2

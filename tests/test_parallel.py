@@ -75,3 +75,21 @@ def test_topk_deterministic_ties():
     vals, idx = topk_candidates(scores, valid, 4)
     np.testing.assert_array_equal(np.asarray(idx), [5, 1, 2, 3])
     np.testing.assert_allclose(np.asarray(vals), [0.5, 1.0, 1.0, 2.0])
+
+
+def test_global_topk_across_shards():
+    from openfdcm_tpu.parallel import global_topk
+    mesh = make_mesh(axis_names=("cand",))
+    n = mesh.shape["cand"]
+    c = 16 * n
+    rng = np.random.default_rng(0)
+    scores = rng.uniform(0, 100, c).astype(np.float32)
+    valid = rng.uniform(size=c) > 0.2
+    scores[5] = scores[9] = 1.5  # tie
+    valid[5] = valid[9] = True
+    vals, idx = global_topk(mesh, jnp.asarray(scores), jnp.asarray(valid), 8)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    masked = np.where(valid, scores, np.inf)
+    order = np.lexsort((np.arange(c), masked))[:8]
+    np.testing.assert_array_equal(idx, order)
+    np.testing.assert_allclose(vals, masked[order])
