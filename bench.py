@@ -41,14 +41,9 @@ def main():
     bank = of.prepare_templates(templates)
 
     def run(scene_list):
-        fms = of.build_featuremap_batch(scene_list, params, pad_to=128)
-        all_matches = of.search_batch(of.DefaultMatch(), searcher, optimizer,
-                                      fms, bank, scene_list)
-        out = []
-        for matches in all_matches:
-            pen = of.penalize(of.ExponentialPenalty(1.5), matches, lengths)
-            out.append(of.sort_matches(pen)[:10])
-        return out
+        return of.match_many(scene_list, bank, params, searcher, optimizer,
+                             penalty=of.ExponentialPenalty(1.5),
+                             template_lengths=lengths, top_k=10)
 
     # Warmup / compile every shape bucket once.
     t0 = time.perf_counter()

@@ -31,7 +31,7 @@ from .matching.match import (
     Match, DefaultMatch, search, sort_matches, TemplateBank, prepare_templates,
 )
 from .matching.pipeline import (
-    Dt3FeaturemapBatch, build_featuremap_batch, search_batch,
+    Dt3FeaturemapBatch, build_featuremap_batch, search_batch, match_many,
 )
 
 # Reference spells the enum `openfdcm.distance`.
@@ -47,7 +47,7 @@ __all__ = [
     "BatchOptimize", "DenseOptimize", "optimize", "DefaultPenalty",
     "ExponentialPenalty", "penalize", "Match", "DefaultMatch", "search",
     "sort_matches", "TemplateBank", "prepare_templates", "geometry", "io",
-    "Dt3FeaturemapBatch", "build_featuremap_batch", "search_batch",
+    "Dt3FeaturemapBatch", "build_featuremap_batch", "search_batch", "match_many",
     "OpenFDCMError", "PointOutOfBound", "ImgProcError", "utils",
     "enable_compilation_cache",
 ]

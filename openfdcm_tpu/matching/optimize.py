@@ -356,6 +356,15 @@ def optimize_candidates(dt3_flat, angles, scene_tr, hw, feature_size,
                     dense = eval_at(sign, h, sel)(sub[4])
                     sub = chain_call(dense, t_lim[sel], sub, sign)
                     state = tuple(x.at[sel].set(s) for x, s in zip(state, sub))
+            # Straggler tail: walk a COMPACTED subset (full-C lockstep here
+            # would cost C*window*L*2 gathers per iteration for a handful of
+            # active candidates); the final full-C walk only iterates in the
+            # overflow case (more than c//8 stragglers — essentially never).
+            b_tail = max(64, c // 8)
+            sel = compact_sel(state[3], b_tail)
+            sub = tuple(x[sel] for x in state)
+            sub = walk(eval_at(sign, window, sel), t_lim[sel], sub, sign, window)
+            state = tuple(x.at[sel].set(s) for x, s in zip(state, sub))
             state = walk(eval_at(sign, window), t_lim, state, sign, window)
             return state
 

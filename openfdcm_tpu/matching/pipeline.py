@@ -116,6 +116,61 @@ def build_featuremap_batch(scenes, params: fm.Dt3Params = fm.Dt3Params(),
         feature_sizes=tuple((w, h) for _, (w, h) in metas), params=params)
 
 
+def match_many(scenes, templates, params: fm.Dt3Params, searcher, optimizer,
+               penalty=None, template_lengths=None, pad_to: int = 128,
+               scene_chunk: int = 8, top_k: int | None = None) -> list:
+    """End-to-end matching for a list of scenes.
+
+    Scenes are grouped by canvas bucket (so one 640-canvas straggler does
+    not inflate every 512-canvas scene), each group runs through the batched
+    build + search, and results come back in input order — penalized when a
+    ``penalty`` is given.  Returns ``list[list[Match]]`` (unsorted; with
+    ``top_k`` the per-scene lists are the k best matches, sorted ascending —
+    the post-processing then runs on arrays instead of building one Match
+    object per candidate).
+    """
+    bank = templates if isinstance(templates, TemplateBank) else prepare_templates(templates)
+    arrs = [geo.as_lines_np(s) for s in scenes]
+    lengths = None
+    if penalty is not None:
+        lengths = np.asarray(
+            template_lengths if template_lengths is not None
+            else geo.get_template_lengths(bank.host), np.float32)
+    buckets = {}
+    for i, a in enumerate(arrs):
+        _, (w, h) = fm.scene_centered_translation(a, params.padding)
+        key = -(-max(w, h) // pad_to) * pad_to
+        buckets.setdefault(key, []).append(i)
+
+    out = [None] * len(scenes)
+    for key in sorted(buckets):
+        idxs = buckets[key]
+        group = [scenes[i] for i in idxs]
+        fms = build_featuremap_batch(group, params, pad_to=pad_to)
+        res = _search_batch_arrays(searcher, optimizer, fms, bank, group,
+                                   scene_chunk=scene_chunk)
+        for i, (pairs, scores, mats, valid) in zip(idxs, res):
+            tmpl_idx = np.repeat(pairs[:, 0], 2)
+            pscores = scores.astype(np.float32)
+            if penalty is not None:
+                if pairs.size and int(pairs[:, 0].max()) >= len(lengths):
+                    raise IndexError(
+                        "In penalize, the size of templatelengths is not "
+                        "consistent with match template indices")
+                pscores = penalty.apply(pscores, lengths[tmpl_idx])
+            if top_k is None:
+                out[i] = [Match(int(tmpl_idx[j]), float(pscores[j]), mats[j].copy())
+                          for j in range(len(pscores)) if valid[j]]
+            else:
+                masked = np.where(valid, pscores, np.inf)
+                k = min(top_k, len(masked))
+                sel = np.lexsort((np.arange(len(masked)), masked))[:k]
+                sel = sel[np.isfinite(masked[sel])]
+                out[i] = [Match(int(tmpl_idx[j]), float(pscores[j]), mats[j].copy())
+                          for j in sel]
+    return out
+
+
 def search_batch(matcher, searcher, optimizer, featuremaps: Dt3FeaturemapBatch,
                  templates, scenes, scene_chunk: int = 8) -> list:
     """Per-scene ``search`` over a scene batch in few device dispatches.
@@ -127,6 +182,25 @@ def search_batch(matcher, searcher, optimizer, featuremaps: Dt3FeaturemapBatch,
     Returns ``list[list[Match]]`` (unsorted, reference emplace order per
     scene, ``defaultmatch.cpp:62-70``).
     """
+    del matcher
+    out = []
+    for pairs, scores, mats, valid in _search_batch_arrays(
+            searcher, optimizer, featuremaps, templates, scenes, scene_chunk):
+        matches = []
+        for j in range(2 * pairs.shape[0]):
+            if not valid[j]:
+                continue
+            matches.append(Match(int(pairs[j // 2, 0]), float(scores[j]),
+                                 mats[j].copy()))
+        out.append(matches)
+    return out
+
+
+def _search_batch_arrays(searcher, optimizer, featuremaps, templates, scenes,
+                         scene_chunk: int = 8) -> list:
+    """Array-level batched search: per scene ``(pairs (P,3), scores (2P,),
+    mats (2P,2,3), valid (2P,))`` — candidate order is the reference emplace
+    order (pair-major, polarity-minor)."""
     s_total = len(featuremaps)
     if s_total > scene_chunk:
         # Even-sized chunks minimize padding waste (10 scenes, cap 8 ->
@@ -144,11 +218,10 @@ def search_batch(matcher, searcher, optimizer, featuremaps: Dt3FeaturemapBatch,
                 scene_translations=featuremaps.scene_translations[np.asarray(pad)],
                 feature_sizes=tuple(featuremaps.feature_sizes[i] for i in pad),
                 params=featuremaps.params)
-            res = search_batch(matcher, searcher, optimizer, sub, templates,
-                               [scenes[i] for i in pad], scene_chunk)
+            res = _search_batch_arrays(searcher, optimizer, sub, templates,
+                                       [scenes[i] for i in pad], scene_chunk)
             out.extend(res[: hi - lo])
         return out
-    del matcher
     bank = templates if isinstance(templates, TemplateBank) else prepare_templates(templates)
     s_count = len(featuremaps)
     arrs = [geo.as_lines_np(s) for s in scenes]
@@ -165,7 +238,9 @@ def search_batch(matcher, searcher, optimizer, featuremaps: Dt3FeaturemapBatch,
 
     pmax = max((p.shape[0] for p in per_scene_pairs), default=0)
     if pmax == 0:
-        return [[] for _ in range(s_count)]
+        z = np.zeros((0,), np.float32)
+        return [(np.zeros((0, 3), np.int32), z, np.zeros((0, 2, 3), np.float32),
+                 np.zeros((0,), bool)) for _ in range(s_count)]
     pb = _bucket(pmax)
     nb = _bucket(max(a.shape[0] for a in arrs), 128)
 
@@ -195,13 +270,6 @@ def search_batch(matcher, searcher, optimizer, featuremaps: Dt3FeaturemapBatch,
     valid = np.asarray(valid)
     mats = np.asarray(mats)
 
-    out = []
-    for i, pairs in enumerate(per_scene_pairs):
-        matches = []
-        for j in range(2 * pairs.shape[0]):
-            if not valid[i, j]:
-                continue
-            matches.append(Match(int(pairs[j // 2, 0]), float(scores[i, j]),
-                                 mats[i, j].copy()))
-        out.append(matches)
-    return out
+    return [(pairs, scores[i, : 2 * pairs.shape[0]],
+             mats[i, : 2 * pairs.shape[0]], valid[i, : 2 * pairs.shape[0]])
+            for i, pairs in enumerate(per_scene_pairs)]
