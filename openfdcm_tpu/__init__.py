@@ -38,6 +38,8 @@ from .matching.pipeline import (
 distance = Distance
 
 __version__ = "0.1.0"
+# Reference exposes OPENFDCM_VER_{MAJOR,MINOR,PATCH} (core/version.h.in:28-32).
+version_info = tuple(int(p) for p in __version__.split("."))
 
 __all__ = [
     "Distance", "distance", "read", "write", "get_template_lengths",

@@ -204,10 +204,12 @@ def _search_batch_arrays(searcher, optimizer, featuremaps, templates, scenes,
     s_total = len(featuremaps)
     if s_total > scene_chunk:
         # Even-sized chunks minimize padding waste (10 scenes, cap 8 ->
-        # 2 chunks of 5, not 8 + 2-padded-to-8).
+        # 2 chunks of 5, not 8 + 2-padded-to-8).  ALL chunks are dispatched
+        # before any result is pulled back, so d2h/host conversion of chunk
+        # N overlaps device execution of chunk N+1.
         n_chunks = -(-s_total // scene_chunk)
         scene_chunk = -(-s_total // n_chunks)
-        out = []
+        pending = []
         for lo in range(0, s_total, scene_chunk):
             hi = min(lo + scene_chunk, s_total)
             idx = list(range(lo, hi))
@@ -218,10 +220,20 @@ def _search_batch_arrays(searcher, optimizer, featuremaps, templates, scenes,
                 scene_translations=featuremaps.scene_translations[np.asarray(pad)],
                 feature_sizes=tuple(featuremaps.feature_sizes[i] for i in pad),
                 params=featuremaps.params)
-            res = _search_batch_arrays(searcher, optimizer, sub, templates,
-                                       [scenes[i] for i in pad], scene_chunk)
-            out.extend(res[: hi - lo])
+            pending.append((hi - lo, _search_chunk_dispatch(
+                searcher, optimizer, sub, templates,
+                [scenes[i] for i in pad])))
+        out = []
+        for n_keep, disp in pending:
+            out.extend(_search_chunk_convert(*disp)[:n_keep])
         return out
+    n_keep, disp = s_total, _search_chunk_dispatch(
+        searcher, optimizer, featuremaps, templates, scenes)
+    return _search_chunk_convert(*disp)
+
+
+def _search_chunk_dispatch(searcher, optimizer, featuremaps, templates, scenes):
+    """Host prep + ONE async device dispatch for a scene chunk."""
     bank = templates if isinstance(templates, TemplateBank) else prepare_templates(templates)
     s_count = len(featuremaps)
     arrs = [geo.as_lines_np(s) for s in scenes]
@@ -239,8 +251,10 @@ def _search_batch_arrays(searcher, optimizer, featuremaps, templates, scenes,
     pmax = max((p.shape[0] for p in per_scene_pairs), default=0)
     if pmax == 0:
         z = np.zeros((0,), np.float32)
-        return [(np.zeros((0, 3), np.int32), z, np.zeros((0, 2, 3), np.float32),
-                 np.zeros((0,), bool)) for _ in range(s_count)]
+        empty = [(np.zeros((0, 3), np.int32), z,
+                  np.zeros((0, 2, 3), np.float32), np.zeros((0,), bool))
+                 for _ in range(s_count)]
+        return empty, None, None, None
     pb = _bucket(pmax)
     nb = _bucket(max(a.shape[0] for a in arrs), 128)
 
@@ -266,10 +280,15 @@ def _search_batch_arrays(searcher, optimizer, featuremaps, templates, scenes,
         lmax=bank.lmax, hw=(ph, pw), mode=mode, window=max(window, 1),
         dense_steps=dense_steps)
 
+    return per_scene_pairs, scores, mats, valid
+
+
+def _search_chunk_convert(per_scene_pairs, scores, mats, valid):
+    if isinstance(per_scene_pairs, list) and scores is None:
+        return per_scene_pairs   # empty-chunk marker
     scores = np.asarray(scores)
     valid = np.asarray(valid)
     mats = np.asarray(mats)
-
     return [(pairs, scores[i, : 2 * pairs.shape[0]],
              mats[i, : 2 * pairs.shape[0]], valid[i, : 2 * pairs.shape[0]])
             for i, pairs in enumerate(per_scene_pairs)]
