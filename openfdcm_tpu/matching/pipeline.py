@@ -142,6 +142,16 @@ def match_many(scenes, templates, params: fm.Dt3Params, searcher, optimizer,
         key = -(-max(w, h) // pad_to) * pad_to
         buckets.setdefault(key, []).append(i)
 
+    # Bound the candidate count per device dispatch (HBM working set):
+    # a 114-template bank at DefaultSearch(4,10) is ~9.2k candidates/scene
+    # and 8 scenes/dispatch is safe; scale down for bigger banks.
+    try:
+        mt, ms = searcher.get_max_tmpl_lines(), searcher.get_max_scene_lines()
+        c_per_scene = 2 * sum(min(t.shape[0], mt) for t in bank.host) * ms
+    except AttributeError:
+        c_per_scene = 2 * 40 * len(bank.host)
+    scene_chunk = max(1, min(scene_chunk, 75_000 // max(c_per_scene, 1)))
+
     out = [None] * len(scenes)
     for key in sorted(buckets):
         idxs = buckets[key]
