@@ -265,40 +265,74 @@ def _search_chunk_dispatch(searcher, optimizer, featuremaps, templates, scenes):
                   np.zeros((0, 2, 3), np.float32), np.zeros((0,), bool))
                  for _ in range(s_count)]
         return empty, None, None, None
-    pb = _bucket(pmax)
     nb = _bucket(max(a.shape[0] for a in arrs), 128)
-
-    pair_arr = np.zeros((s_count, pb, 3), np.int32)
     scene_arr = np.zeros((s_count, nb, 4), np.float32)
-    for i, (p, a) in enumerate(zip(per_scene_pairs, arrs)):
-        pair_arr[i, : p.shape[0]] = p
+    for i, a in enumerate(arrs):
         scene_arr[i, : a.shape[0]] = a
 
     mode, window = opt.optimizer_mode(optimizer)
-    d = featuremaps.dt3.shape[1]
     ph, pw = featuremaps.dt3.shape[2], featuremaps.dt3.shape[3]
     fs = np.asarray([[float(w), float(h)] for (w, h) in featuremaps.feature_sizes],
                     np.float32)
     dense_steps = (-(-int(fs.max()) // 64) * 64) if mode == "dense" else 1
 
-    scores, mats, valid = _search_device_batch(
-        bank.lines, bank.mask,
-        jnp.asarray(pair_arr[:, :, 0]), jnp.asarray(pair_arr[:, :, 1]),
-        jnp.asarray(pair_arr[:, :, 2]), jnp.asarray(scene_arr),
-        featuremaps.dt3.reshape(s_count, -1), featuremaps.angles,
-        featuremaps.scene_translations, jnp.asarray(fs),
-        lmax=bank.lmax, hw=(ph, pw), mode=mode, window=max(window, 1),
-        dense_steps=dense_steps)
+    # Probe cost scales with the padded template line count, so pairs are
+    # BUCKETED by their template's line count (quantum 8) and each bucket
+    # dispatches with its own lmax (the bank tensor is sliced, padded lines
+    # are masked anyway).  Results scatter back into reference emplace order.
+    counts = np.asarray([t.shape[0] for t in bank.host], np.int64)
+    lmax_of_pair = [np.minimum(-(-counts[p[:, 0]] // 8) * 8, bank.lmax)
+                    if p.size else np.zeros((0,), np.int64)
+                    for p in per_scene_pairs]
+    lmax_values = sorted({int(v) for lp in lmax_of_pair for v in np.unique(lp)})
 
-    return per_scene_pairs, scores, mats, valid
+    scene_dev = jnp.asarray(scene_arr)
+    dt3_dev = featuremaps.dt3.reshape(s_count, -1)
+    parts = []
+    for lv in lmax_values:
+        sel = [np.nonzero(lp == lv)[0] for lp in lmax_of_pair]
+        p_lv = max(len(s) for s in sel)
+        if p_lv == 0:
+            continue
+        pb = _bucket(p_lv)
+        pair_arr = np.zeros((s_count, pb, 3), np.int32)
+        for i, (p, s) in enumerate(zip(per_scene_pairs, sel)):
+            pair_arr[i, : len(s)] = p[s]
+        scores, mats, valid = _search_device_batch(
+            bank.lines[:, :lv], bank.mask[:, :lv],
+            jnp.asarray(pair_arr[:, :, 0]), jnp.asarray(pair_arr[:, :, 1]),
+            jnp.asarray(pair_arr[:, :, 2]), scene_dev,
+            dt3_dev, featuremaps.angles,
+            featuremaps.scene_translations, jnp.asarray(fs),
+            lmax=lv, hw=(ph, pw), mode=mode, window=max(window, 1),
+            dense_steps=dense_steps)
+        parts.append((sel, scores, mats, valid))
+
+    return per_scene_pairs, parts, None, None
 
 
-def _search_chunk_convert(per_scene_pairs, scores, mats, valid):
-    if isinstance(per_scene_pairs, list) and scores is None:
+def _search_chunk_convert(per_scene_pairs, parts, _unused_m, _unused_v):
+    if parts is None:
         return per_scene_pairs   # empty-chunk marker
-    scores = np.asarray(scores)
-    valid = np.asarray(valid)
-    mats = np.asarray(mats)
-    return [(pairs, scores[i, : 2 * pairs.shape[0]],
-             mats[i, : 2 * pairs.shape[0]], valid[i, : 2 * pairs.shape[0]])
-            for i, pairs in enumerate(per_scene_pairs)]
+    # One d2h per device array (slicing device arrays per scene would pay
+    # a dispatch round trip each).
+    parts = [(sel, np.asarray(s), np.asarray(m), np.asarray(v))
+             for sel, s, m, v in parts]
+    out = []
+    for i, pairs in enumerate(per_scene_pairs):
+        n = 2 * pairs.shape[0]
+        scores = np.zeros((n,), np.float32)
+        mats = np.zeros((n, 2, 3), np.float32)
+        valid = np.zeros((n,), bool)
+        for sel, s_np, m_np, v_np in parts:
+            s = sel[i]
+            if len(s) == 0:
+                continue
+            # pair j maps to candidates 2j and 2j+1 (polarity-minor order)
+            cidx = np.stack([2 * s, 2 * s + 1], axis=1).reshape(-1)
+            k = 2 * len(s)
+            scores[cidx] = s_np[i, :k]
+            mats[cidx] = m_np[i, :k]
+            valid[cidx] = v_np[i, :k]
+        out.append((pairs, scores, mats, valid))
+    return out
