@@ -398,9 +398,10 @@ def evaluate_batched(dt3_flat: jax.Array, hw: tuple, slice_idx: jax.Array,
     Returns scores ``(..., K)``: per translation, sum over lines of
     ``|dt3[o, y2, x2] - dt3[o, y1, x1]|`` with int-truncated coordinates.
 
-    Layout note: all big intermediates are arranged ``(2, L, B, K)`` so the
-    *large* axes (candidates x steps) are trailing — TPU tiles the last two
-    dims to (8, 128); a trailing size-2 axis would pad 64x in memory.
+    Layout note: all big intermediates are arranged ``(2, L, B*K)`` so the
+    *large* flattened candidate-x-step axis fills whole 128-lane vregs — a
+    trailing axis of K (e.g. 11 steps) would waste 11/128 of every vector op
+    and gather issue, and a trailing size-2 axis would pad 64x in memory.
     """
     h, w = hw
     lead = endpoints.shape[:-3]
@@ -408,18 +409,19 @@ def evaluate_batched(dt3_flat: jax.Array, hw: tuple, slice_idx: jax.Array,
     k = translations.shape[-2]
     b = int(np.prod(lead)) if lead else 1
     ep = endpoints.reshape(b, l, 2, 2)
-    tr = translations.reshape(b, k, 2)
+    tr = translations.reshape(b * k, 2)
     si = slice_idx.reshape(b, l)
     lm = line_mask.reshape(b, l)
 
-    ex = jnp.transpose(ep[..., 0], (2, 1, 0))            # (2, L, B)
-    ey = jnp.transpose(ep[..., 1], (2, 1, 0))
-    xi = (ex[..., None] + tr[..., 0][None, None]).astype(jnp.int32)  # (2,L,B,K)
-    yi = (ey[..., None] + tr[..., 1][None, None]).astype(jnp.int32)
-    base = jnp.transpose(si, (1, 0))[None, :, :, None] * (h * w)     # (1,L,B,1)
-    vals = jnp.take(dt3_flat, base + yi * w + xi, mode="clip")       # (2,L,B,K)
-    per_line = jnp.abs(vals[0] - vals[1])                            # (L,B,K)
-    scores = jnp.sum(per_line * jnp.transpose(lm, (1, 0))[:, :, None], axis=0)
+    ex = jnp.repeat(jnp.transpose(ep[..., 0], (2, 1, 0)), k, axis=-1)  # (2,L,B*K)
+    ey = jnp.repeat(jnp.transpose(ep[..., 1], (2, 1, 0)), k, axis=-1)
+    xi = (ex + tr[:, 0][None, None]).astype(jnp.int32)                 # (2,L,B*K)
+    yi = (ey + tr[:, 1][None, None]).astype(jnp.int32)
+    base = jnp.repeat(jnp.transpose(si, (1, 0)), k, axis=-1)[None] * (h * w)
+    vals = jnp.take(dt3_flat, base + yi * w + xi, mode="clip")         # (2,L,B*K)
+    per_line = jnp.abs(vals[0] - vals[1])                              # (L,B*K)
+    lmr = jnp.repeat(jnp.transpose(lm, (1, 0)), k, axis=-1)
+    scores = jnp.sum(per_line * lmr, axis=0)                           # (B*K,)
     return scores.reshape(*lead, k)
 
 
