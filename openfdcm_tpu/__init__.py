@@ -44,6 +44,7 @@ version_info = tuple(int(p) for p in __version__.split("."))
 __all__ = [
     "Distance", "distance", "read", "write", "get_template_lengths",
     "Dt3Params", "Dt3Featuremap", "build_featuremap", "evaluate",
+    "save_featuremap", "load_featuremap", "profiling",
     "minmax_translation", "DefaultSearch", "ConcentricRangeStrategy",
     "establish_search_strategy", "DefaultOptimize", "IndulgentOptimize",
     "BatchOptimize", "DenseOptimize", "optimize", "DefaultPenalty",
