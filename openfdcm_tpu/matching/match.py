@@ -145,6 +145,31 @@ def _search_device_batch(tmpl_lines, tmpl_mask, pair_t, pair_tl, pair_sl,
                          scene_tr, feature_size)
 
 
+def _search_device_batch_sharded(mesh, tmpl_lines, tmpl_mask, pair_t, pair_tl,
+                                 pair_sl, scenes, dt3_flat, angles, scene_tr,
+                                 feature_size, *, lmax, hw, mode, window,
+                                 dense_steps, axis="scene"):
+    """Scene-data-parallel batched search: the scene axis is sharded over a
+    mesh; the template bank and angles are replicated.  Per-scene work is
+    independent, so there is no cross-device traffic inside the search."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    def local(pt, ptl, psl, sc, dt, tr, fs):
+        def one(pt1, ptl1, psl1, sc1, dt1, tr1, fs1):
+            return _search_core(tmpl_lines, tmpl_mask, pt1, ptl1, psl1, sc1,
+                                dt1, angles, tr1, fs1, lmax=lmax, hw=hw,
+                                mode=mode, window=window,
+                                dense_steps=dense_steps)
+        return jax.vmap(one)(pt, ptl, psl, sc, dt, tr, fs)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(axis),) * 7, out_specs=(P(axis),) * 3,
+                   check_vma=False)
+    return jax.jit(fn)(pair_t, pair_tl, pair_sl, scenes, dt3_flat,
+                       scene_tr, feature_size)
+
+
 def search(matcher, searcher, optimizer, featuremap: fm.Dt3Featuremap,
            templates, scene, mesh=None) -> list:
     """Find matches of ``templates`` in ``scene``.  Reference

@@ -25,7 +25,7 @@ from ..core import geometry as geo
 from . import featuremap as fm
 from . import optimize as opt
 from .match import Match, TemplateBank, prepare_templates, _bucket, \
-    _search_device_batch
+    _search_device_batch, _search_device_batch_sharded
 from .search import establish_search_strategy
 
 
@@ -118,7 +118,8 @@ def build_featuremap_batch(scenes, params: fm.Dt3Params = fm.Dt3Params(),
 
 def match_many(scenes, templates, params: fm.Dt3Params, searcher, optimizer,
                penalty=None, template_lengths=None, pad_to: int = 128,
-               scene_chunk: int = 8, top_k: int | None = None) -> list:
+               scene_chunk: int = 8, top_k: int | None = None,
+               mesh=None) -> list:
     """End-to-end matching for a list of scenes.
 
     Scenes are grouped by canvas bucket (so one 640-canvas straggler does
@@ -151,6 +152,11 @@ def match_many(scenes, templates, params: fm.Dt3Params, searcher, optimizer,
     except AttributeError:
         c_per_scene = 2 * 40 * len(bank.host)
     scene_chunk = max(1, min(scene_chunk, 75_000 // max(c_per_scene, 1)))
+    if mesh is not None:
+        # Data-parallel scenes: each device handles scene_chunk scenes, so a
+        # dispatch covers n_devices * scene_chunk of them.
+        n_dp = mesh.shape.get("scene", 1)
+        scene_chunk = scene_chunk * n_dp
 
     out = [None] * len(scenes)
     for key in sorted(buckets):
@@ -158,7 +164,7 @@ def match_many(scenes, templates, params: fm.Dt3Params, searcher, optimizer,
         group = [scenes[i] for i in idxs]
         fms = build_featuremap_batch(group, params, pad_to=pad_to)
         res = _search_batch_arrays(searcher, optimizer, fms, bank, group,
-                                   scene_chunk=scene_chunk)
+                                   scene_chunk=scene_chunk, mesh=mesh)
         for i, (pairs, scores, mats, valid) in zip(idxs, res):
             tmpl_idx = np.repeat(pairs[:, 0], 2)
             pscores = scores.astype(np.float32)
@@ -182,7 +188,7 @@ def match_many(scenes, templates, params: fm.Dt3Params, searcher, optimizer,
 
 
 def search_batch(matcher, searcher, optimizer, featuremaps: Dt3FeaturemapBatch,
-                 templates, scenes, scene_chunk: int = 8) -> list:
+                 templates, scenes, scene_chunk: int = 8, mesh=None) -> list:
     """Per-scene ``search`` over a scene batch in few device dispatches.
 
     Scenes are processed in fixed-size chunks of ``scene_chunk`` (the last
@@ -195,7 +201,8 @@ def search_batch(matcher, searcher, optimizer, featuremaps: Dt3FeaturemapBatch,
     del matcher
     out = []
     for pairs, scores, mats, valid in _search_batch_arrays(
-            searcher, optimizer, featuremaps, templates, scenes, scene_chunk):
+            searcher, optimizer, featuremaps, templates, scenes, scene_chunk,
+            mesh=mesh):
         matches = []
         for j in range(2 * pairs.shape[0]):
             if not valid[j]:
@@ -207,18 +214,22 @@ def search_batch(matcher, searcher, optimizer, featuremaps: Dt3FeaturemapBatch,
 
 
 def _search_batch_arrays(searcher, optimizer, featuremaps, templates, scenes,
-                         scene_chunk: int = 8) -> list:
+                         scene_chunk: int = 8, mesh=None) -> list:
     """Array-level batched search: per scene ``(pairs (P,3), scores (2P,),
     mats (2P,2,3), valid (2P,))`` — candidate order is the reference emplace
     order (pair-major, polarity-minor)."""
     s_total = len(featuremaps)
-    if s_total > scene_chunk:
+    n_dp = mesh.shape.get("scene", 1) if mesh is not None else 1
+    if s_total > scene_chunk or s_total % n_dp:
         # Even-sized chunks minimize padding waste (10 scenes, cap 8 ->
         # 2 chunks of 5, not 8 + 2-padded-to-8).  ALL chunks are dispatched
         # before any result is pulled back, so d2h/host conversion of chunk
-        # N overlaps device execution of chunk N+1.
+        # N overlaps device execution of chunk N+1.  Under a scene mesh the
+        # chunk size must divide evenly across the data-parallel axis.
         n_chunks = -(-s_total // scene_chunk)
         scene_chunk = -(-s_total // n_chunks)
+        if n_dp > 1:
+            scene_chunk = -(-scene_chunk // n_dp) * n_dp
         pending = []
         for lo in range(0, s_total, scene_chunk):
             hi = min(lo + scene_chunk, s_total)
@@ -232,17 +243,18 @@ def _search_batch_arrays(searcher, optimizer, featuremaps, templates, scenes,
                 params=featuremaps.params)
             pending.append((hi - lo, _search_chunk_dispatch(
                 searcher, optimizer, sub, templates,
-                [scenes[i] for i in pad])))
+                [scenes[i] for i in pad], mesh=mesh)))
         out = []
         for n_keep, disp in pending:
             out.extend(_search_chunk_convert(*disp)[:n_keep])
         return out
     n_keep, disp = s_total, _search_chunk_dispatch(
-        searcher, optimizer, featuremaps, templates, scenes)
+        searcher, optimizer, featuremaps, templates, scenes, mesh=mesh)
     return _search_chunk_convert(*disp)
 
 
-def _search_chunk_dispatch(searcher, optimizer, featuremaps, templates, scenes):
+def _search_chunk_dispatch(searcher, optimizer, featuremaps, templates, scenes,
+                           mesh=None):
     """Host prep + ONE async device dispatch for a scene chunk."""
     bank = templates if isinstance(templates, TemplateBank) else prepare_templates(templates)
     s_count = len(featuremaps)
@@ -298,14 +310,18 @@ def _search_chunk_dispatch(searcher, optimizer, featuremaps, templates, scenes):
         pair_arr = np.zeros((s_count, pb, 3), np.int32)
         for i, (p, s) in enumerate(zip(per_scene_pairs, sel)):
             pair_arr[i, : len(s)] = p[s]
-        scores, mats, valid = _search_device_batch(
-            bank.lines[:, :lv], bank.mask[:, :lv],
-            jnp.asarray(pair_arr[:, :, 0]), jnp.asarray(pair_arr[:, :, 1]),
-            jnp.asarray(pair_arr[:, :, 2]), scene_dev,
-            dt3_dev, featuremaps.angles,
-            featuremaps.scene_translations, jnp.asarray(fs),
-            lmax=lv, hw=(ph, pw), mode=mode, window=max(window, 1),
-            dense_steps=dense_steps)
+        kwargs = dict(lmax=lv, hw=(ph, pw), mode=mode,
+                      window=max(window, 1), dense_steps=dense_steps)
+        args = (bank.lines[:, :lv], bank.mask[:, :lv],
+                jnp.asarray(pair_arr[:, :, 0]), jnp.asarray(pair_arr[:, :, 1]),
+                jnp.asarray(pair_arr[:, :, 2]), scene_dev,
+                dt3_dev, featuremaps.angles,
+                featuremaps.scene_translations, jnp.asarray(fs))
+        if mesh is not None:
+            scores, mats, valid = _search_device_batch_sharded(
+                mesh, *args, **kwargs)
+        else:
+            scores, mats, valid = _search_device_batch(*args, **kwargs)
         parts.append((sel, scores, mats, valid))
 
     return per_scene_pairs, parts, None, None

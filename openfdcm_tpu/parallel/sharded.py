@@ -46,7 +46,8 @@ def make_mesh(shape=None, axis_names=("cand",), devices=None) -> Mesh:
         devices = jax.devices()
     if shape is None:
         shape = (len(devices),) + (1,) * (len(axis_names) - 1)
-    arr = np.asarray(devices).reshape(shape)
+    n = int(np.prod(shape))
+    arr = np.asarray(devices[:n]).reshape(shape)
     return Mesh(arr, axis_names)
 
 

@@ -50,3 +50,26 @@ def test_batch_featuremap_matches_single_build():
             np.asarray(single.dt3)[:, :h, :w])
         np.testing.assert_array_equal(np.asarray(batch.scene_translations[i]),
                                       np.asarray(single.scene_translation))
+
+
+def test_match_many_scene_mesh_matches_single_device():
+    from openfdcm_tpu.parallel import make_mesh
+    tmpl = np.asarray(create_lines(10, 80))
+    scenes = [_make_scene(tmpl, np.pi, 3.0), _make_scene(tmpl, np.pi / 3, 7.0),
+              _make_scene(tmpl, -0.5, 11.0)]
+    params = of.Dt3Params(4, 5.0, 2.2, of.Distance.L2)
+    bank = of.prepare_templates([tmpl])
+    searcher = of.DefaultSearch(4, 10)
+    optimizer = of.BatchOptimize(10)
+    mesh = make_mesh(shape=(2,), axis_names=("scene",))
+
+    plain = of.match_many(scenes, bank, params, searcher, optimizer)
+    sharded = of.match_many(scenes, bank, params, searcher, optimizer, mesh=mesh)
+    assert len(plain) == len(sharded) == 3
+    for a_list, b_list in zip(plain, sharded):
+        assert len(a_list) == len(b_list) > 0
+        for a, b in zip(a_list, b_list):
+            assert a.tmpl_idx == b.tmpl_idx
+            assert a.score == b.score
+            np.testing.assert_allclose(a.transform, b.transform,
+                                       rtol=1e-6, atol=1e-5)
