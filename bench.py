@@ -45,9 +45,15 @@ def main():
                              penalty=of.ExponentialPenalty(1.5),
                              template_lengths=lengths, top_k=10)
 
-    # Warmup / compile every shape bucket once.
+    # Warmup / compile every shape bucket once.  One retry absorbs a
+    # transient TPU-worker hiccup on the tunneled dev chip.
     t0 = time.perf_counter()
-    run(scenes)
+    try:
+        run(scenes)
+    except Exception as e:  # noqa: BLE001
+        print(f"# warmup retry after: {type(e).__name__}", file=sys.stderr)
+        time.sleep(5)
+        run(scenes)
     warm = time.perf_counter() - t0
 
     n = len(scenes)
