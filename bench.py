@@ -57,9 +57,12 @@ def main():
     warm = time.perf_counter() - t0
 
     n = len(scenes)
-    t0 = time.perf_counter()
-    best_all = run(scenes)
-    wall = time.perf_counter() - t0
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        best_all = run(scenes)
+        walls.append(time.perf_counter() - t0)
+    wall = sorted(walls)[1]          # median of 3 steady-state loops
     sps = n / wall
     best = best_all
 

@@ -68,3 +68,23 @@ def test_concentric_offset_center():
         strat = of.ConcentricRangeStrategy(1, 1, center, lo, hi)
         combos = of.establish_search_strategy(strat, tmpl, scene)
         assert (int(combos[0][0]), int(combos[0][1])) == expect, (center, lo, hi)
+
+
+def test_concentric_range_end_to_end():
+    """Annulus-restricted search through the full pipeline (reference
+    ConcentricRangeStrategy, concentricrange.cpp:29-60)."""
+    import openfdcm_tpu as of
+    from tests.utils import create_lines
+
+    tmpl = np.asarray(create_lines(8, 40))
+    scene = tmpl + np.float32(5.0)
+    fm = of.build_featuremap(scene, of.Dt3Params(4, 5.0, 2.0))
+    center = tuple(np.asarray(scene).reshape(-1, 2).mean(axis=0))
+    annulus = of.ConcentricRangeStrategy(3, 5, center, 0.0, 1000.0)
+    m_all = of.search(of.DefaultMatch(), annulus, of.DefaultOptimize(),
+                      fm, [tmpl], scene)
+    assert len(m_all) > 0
+    # A zero-width annulus excludes every scene line -> no candidates.
+    empty = of.ConcentricRangeStrategy(3, 5, (1e6, 1e6), 0.0, 1.0)
+    assert of.search(of.DefaultMatch(), empty, of.DefaultOptimize(),
+                     fm, [tmpl], scene) == []
