@@ -28,6 +28,10 @@ from .match import Match, TemplateBank, prepare_templates, _bucket, \
     _search_device_batch, _search_device_batch_sharded
 from .search import establish_search_strategy
 
+# Max (pair x scene) product per device dispatch; beyond this the pair axis
+# splits into chunks (large-bank support).
+_PAIR_CHUNK = 40_000
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
@@ -300,29 +304,34 @@ def _search_chunk_dispatch(searcher, optimizer, featuremaps, templates, scenes,
 
     scene_dev = jnp.asarray(scene_arr)
     dt3_dev = featuremaps.dt3.reshape(s_count, -1)
+    # Very large template banks (10k+) can exceed the per-dispatch HBM
+    # working set even at one scene; split the pair axis as well.
+    max_pairs = max(_PAIR_CHUNK // max(s_count, 1), 64)
     parts = []
     for lv in lmax_values:
-        sel = [np.nonzero(lp == lv)[0] for lp in lmax_of_pair]
-        p_lv = max(len(s) for s in sel)
+        sel_full = [np.nonzero(lp == lv)[0] for lp in lmax_of_pair]
+        p_lv = max(len(s) for s in sel_full)
         if p_lv == 0:
             continue
-        pb = _bucket(p_lv)
-        pair_arr = np.zeros((s_count, pb, 3), np.int32)
-        for i, (p, s) in enumerate(zip(per_scene_pairs, sel)):
-            pair_arr[i, : len(s)] = p[s]
-        kwargs = dict(lmax=lv, hw=(ph, pw), mode=mode,
-                      window=max(window, 1), dense_steps=dense_steps)
-        args = (bank.lines[:, :lv], bank.mask[:, :lv],
-                jnp.asarray(pair_arr[:, :, 0]), jnp.asarray(pair_arr[:, :, 1]),
-                jnp.asarray(pair_arr[:, :, 2]), scene_dev,
-                dt3_dev, featuremaps.angles,
-                featuremaps.scene_translations, jnp.asarray(fs))
-        if mesh is not None:
-            scores, mats, valid = _search_device_batch_sharded(
-                mesh, *args, **kwargs)
-        else:
-            scores, mats, valid = _search_device_batch(*args, **kwargs)
-        parts.append((sel, scores, mats, valid))
+        for lo in range(0, p_lv, max_pairs):
+            sel = [s[lo: lo + max_pairs] for s in sel_full]
+            pb = _bucket(max(len(s) for s in sel))
+            pair_arr = np.zeros((s_count, pb, 3), np.int32)
+            for i, (p, s) in enumerate(zip(per_scene_pairs, sel)):
+                pair_arr[i, : len(s)] = p[s]
+            kwargs = dict(lmax=lv, hw=(ph, pw), mode=mode,
+                          window=max(window, 1), dense_steps=dense_steps)
+            args = (bank.lines[:, :lv], bank.mask[:, :lv],
+                    jnp.asarray(pair_arr[:, :, 0]), jnp.asarray(pair_arr[:, :, 1]),
+                    jnp.asarray(pair_arr[:, :, 2]), scene_dev,
+                    dt3_dev, featuremaps.angles,
+                    featuremaps.scene_translations, jnp.asarray(fs))
+            if mesh is not None:
+                scores, mats, valid = _search_device_batch_sharded(
+                    mesh, *args, **kwargs)
+            else:
+                scores, mats, valid = _search_device_batch(*args, **kwargs)
+            parts.append((sel, scores, mats, valid))
 
     return per_scene_pairs, parts, None, None
 
