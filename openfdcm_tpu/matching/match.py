@@ -145,6 +145,35 @@ def _search_device_batch(tmpl_lines, tmpl_mask, pair_t, pair_tl, pair_sl,
                          scene_tr, feature_size)
 
 
+@partial(jax.jit, static_argnames=("lmax", "hw", "mode", "window",
+                                   "dense_steps", "k"))
+def _search_device_batch_topk(tmpl_lines, tmpl_mask, pair_t, pair_tl, pair_sl,
+                              scenes, dt3_flat, angles, scene_tr, feature_size,
+                              lengths, tau, pair_valid, *, lmax, hw, mode,
+                              window, dense_steps, k):
+    """Batched search + device-side penalize + per-scene top-k.
+
+    Returns ``(scores_k (S,k), mats_k (S,k,2,3), cand_idx_k (S,k),
+    valid_k (S,k))`` — scores penalized by ``score / max(len, 1e-6)^tau``
+    (reference ``exponentialpenalty.cpp:39-45``; ``tau=1`` is
+    DefaultPenalty); ties break on candidate index like the host path.
+    """
+    scores, mats, valid = _search_device_batch(
+        tmpl_lines, tmpl_mask, pair_t, pair_tl, pair_sl, scenes, dt3_flat,
+        angles, scene_tr, feature_size, lmax=lmax, hw=hw, mode=mode,
+        window=window, dense_steps=dense_steps)
+    tmpl_of_cand = jnp.repeat(pair_t, 2, axis=1)          # (S, 2P)
+    pen = jnp.where(jnp.isnan(tau), 1.0,
+                    jnp.power(jnp.maximum(lengths[tmpl_of_cand], 1e-6), tau))
+    pscores = scores / pen
+    masked = jnp.where(valid & jnp.repeat(pair_valid, 2, axis=1),
+                       pscores, jnp.inf)
+    neg_top, idx = jax.lax.top_k(-masked, k)              # ties -> lowest idx
+    take = lambda a, i: jnp.take_along_axis(a, i, axis=1)
+    return (-neg_top, jnp.take_along_axis(mats, idx[..., None, None], axis=1),
+            idx, take(valid, idx))
+
+
 def _search_device_batch_sharded(mesh, tmpl_lines, tmpl_mask, pair_t, pair_tl,
                                  pair_sl, scenes, dt3_flat, angles, scene_tr,
                                  feature_size, *, lmax, hw, mode, window,

@@ -25,7 +25,8 @@ from ..core import geometry as geo
 from . import featuremap as fm
 from . import optimize as opt
 from .match import Match, TemplateBank, prepare_templates, _bucket, \
-    _search_device_batch, _search_device_batch_sharded
+    _search_device_batch, _search_device_batch_sharded, \
+    _search_device_batch_topk
 from .search import establish_search_strategy
 
 # Max (pair x scene) product per device dispatch; beyond this the pair axis
@@ -162,14 +163,33 @@ def match_many(scenes, templates, params: fm.Dt3Params, searcher, optimizer,
         n_dp = mesh.shape.get("scene", 1)
         scene_chunk = scene_chunk * n_dp
 
+    # Device-side penalize + top-k when the penalty has the reference's
+    # power form (or is absent): only the k best rows come back per scene.
+    post = None
+    if top_k is not None and mesh is None:
+        from .penalty import DefaultPenalty, ExponentialPenalty
+        if penalty is None:
+            post = (jnp.ones(max(len(bank.host), 1), jnp.float32),
+                    jnp.float32(np.nan), top_k)
+        elif type(penalty) is DefaultPenalty:
+            post = (jnp.asarray(lengths), jnp.float32(1.0), top_k)
+        elif type(penalty) is ExponentialPenalty:
+            post = (jnp.asarray(lengths), jnp.float32(penalty.tau), top_k)
+
     out = [None] * len(scenes)
     for key in sorted(buckets):
         idxs = buckets[key]
         group = [scenes[i] for i in idxs]
         fms = build_featuremap_batch(group, params, pad_to=pad_to)
         res = _search_batch_arrays(searcher, optimizer, fms, bank, group,
-                                   scene_chunk=scene_chunk, mesh=mesh)
-        for i, (pairs, scores, mats, valid) in zip(idxs, res):
+                                   scene_chunk=scene_chunk, mesh=mesh,
+                                   post=post)
+        for i, item in zip(idxs, res):
+            if isinstance(item, tuple) and len(item) == 2 and item[0] == "topk":
+                rows = item[1][:top_k]
+                out[i] = [Match(t, s, m.copy()) for (s, _, t, m) in rows]
+                continue
+            pairs, scores, mats, valid = item
             tmpl_idx = np.repeat(pairs[:, 0], 2)
             pscores = scores.astype(np.float32)
             if penalty is not None:
@@ -218,7 +238,7 @@ def search_batch(matcher, searcher, optimizer, featuremaps: Dt3FeaturemapBatch,
 
 
 def _search_batch_arrays(searcher, optimizer, featuremaps, templates, scenes,
-                         scene_chunk: int = 8, mesh=None) -> list:
+                         scene_chunk: int = 8, mesh=None, post=None) -> list:
     """Array-level batched search: per scene ``(pairs (P,3), scores (2P,),
     mats (2P,2,3), valid (2P,))`` — candidate order is the reference emplace
     order (pair-major, polarity-minor)."""
@@ -247,18 +267,19 @@ def _search_batch_arrays(searcher, optimizer, featuremaps, templates, scenes,
                 params=featuremaps.params)
             pending.append((hi - lo, _search_chunk_dispatch(
                 searcher, optimizer, sub, templates,
-                [scenes[i] for i in pad], mesh=mesh)))
+                [scenes[i] for i in pad], mesh=mesh, post=post)))
         out = []
         for n_keep, disp in pending:
             out.extend(_search_chunk_convert(*disp)[:n_keep])
         return out
     n_keep, disp = s_total, _search_chunk_dispatch(
-        searcher, optimizer, featuremaps, templates, scenes, mesh=mesh)
+        searcher, optimizer, featuremaps, templates, scenes, mesh=mesh,
+        post=post)
     return _search_chunk_convert(*disp)
 
 
 def _search_chunk_dispatch(searcher, optimizer, featuremaps, templates, scenes,
-                           mesh=None):
+                           mesh=None, post=None):
     """Host prep + ONE async device dispatch for a scene chunk."""
     bank = templates if isinstance(templates, TemplateBank) else prepare_templates(templates)
     s_count = len(featuremaps)
@@ -329,16 +350,55 @@ def _search_chunk_dispatch(searcher, optimizer, featuremaps, templates, scenes,
             if mesh is not None:
                 scores, mats, valid = _search_device_batch_sharded(
                     mesh, *args, **kwargs)
+                parts.append((sel, scores, mats, valid))
+            elif post is not None:
+                lengths_dev, tau, k = post
+                kk = min(k, 2 * pb)
+                pv = np.zeros((s_count, pb), bool)
+                for i, s in enumerate(sel):
+                    pv[i, : len(s)] = True
+                sk, mk, ik, vk = _search_device_batch_topk(
+                    *args, lengths_dev, tau, jnp.asarray(pv), k=kk, **kwargs)
+                parts.append((sel, (sk, mk, ik, vk)))
             else:
                 scores, mats, valid = _search_device_batch(*args, **kwargs)
-            parts.append((sel, scores, mats, valid))
+                parts.append((sel, scores, mats, valid))
 
-    return per_scene_pairs, parts, None, None
+    mode_tag = "topk" if (post is not None and mesh is None) else "full"
+    return per_scene_pairs, parts, mode_tag, None
 
 
-def _search_chunk_convert(per_scene_pairs, parts, _unused_m, _unused_v):
+def _convert_topk(per_scene_pairs, parts):
+    """Merge per-part device top-k results into per-scene ranked lists of
+    ``("topk", [(score, global_cand_idx, tmpl_idx, mat), ...])``."""
+    parts = [(sel, tuple(np.asarray(x) for x in dev)) for sel, dev in parts]
+    out = []
+    for i, pairs in enumerate(per_scene_pairs):
+        rows = []
+        for sel, (sk, mk, ik, vk) in parts:
+            s = sel[i]
+            if len(s) == 0:
+                continue
+            for j in range(sk.shape[1]):
+                if not vk[i, j] or not np.isfinite(sk[i, j]):
+                    continue
+                local = int(ik[i, j])
+                pair_pos = local // 2
+                if pair_pos >= len(s):
+                    continue            # padded pair slot
+                gidx = 2 * int(s[pair_pos]) + local % 2
+                rows.append((float(sk[i, j]), gidx,
+                             int(pairs[s[pair_pos], 0]), mk[i, j]))
+        rows.sort(key=lambda r: (r[0], r[1]))
+        out.append(("topk", rows))
+    return out
+
+
+def _search_chunk_convert(per_scene_pairs, parts, mode_tag=None, _unused_v=None):
     if parts is None:
         return per_scene_pairs   # empty-chunk marker
+    if mode_tag == "topk":
+        return _convert_topk(per_scene_pairs, parts)
     # One d2h per device array (slicing device arrays per scene would pay
     # a dispatch round trip each).
     parts = [(sel, np.asarray(s), np.asarray(m), np.asarray(v))

@@ -73,3 +73,28 @@ def test_match_many_scene_mesh_matches_single_device():
             assert a.score == b.score
             np.testing.assert_allclose(a.transform, b.transform,
                                        rtol=1e-6, atol=1e-5)
+
+
+def test_match_many_device_topk_matches_host_ranking():
+    tmpl = np.asarray(create_lines(10, 80))
+    scenes = [_make_scene(tmpl, np.pi, 3.0), _make_scene(tmpl, 0.9, 6.0)]
+    params = of.Dt3Params(4, 5.0, 2.2, of.Distance.L2)
+    bank = of.prepare_templates([tmpl, tmpl * 0.7])
+    searcher = of.DefaultSearch(4, 10)
+    optimizer = of.BatchOptimize(10)
+    pen = of.ExponentialPenalty(1.5)
+    lengths = of.get_template_lengths([tmpl, tmpl * 0.7])
+
+    topk = of.match_many(scenes, bank, params, searcher, optimizer,
+                         penalty=pen, template_lengths=lengths, top_k=5)
+    full = of.match_many(scenes, bank, params, searcher, optimizer,
+                         penalty=pen, template_lengths=lengths)
+    for t_list, f_list in zip(topk, full):
+        ranked = of.sort_matches(f_list)[:5]
+        assert len(t_list) == len(ranked) > 0
+        for a, b in zip(t_list, ranked):
+            assert a.tmpl_idx == b.tmpl_idx
+            # device pow vs numpy pow may differ in the last ulp
+            assert np.isclose(a.score, b.score, rtol=1e-6)
+            np.testing.assert_allclose(a.transform, b.transform,
+                                       rtol=1e-6, atol=1e-5)
