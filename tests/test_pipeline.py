@@ -98,3 +98,38 @@ def test_match_many_device_topk_matches_host_ranking():
             assert np.isclose(a.score, b.score, rtol=1e-6)
             np.testing.assert_allclose(a.transform, b.transform,
                                        rtol=1e-6, atol=1e-5)
+
+
+def test_device_topk_with_pair_chunking(monkeypatch):
+    """Top-k must stay exact when the pair axis splits into multiple
+    dispatches and templates span several lmax buckets."""
+    from openfdcm_tpu.matching import pipeline as P
+    monkeypatch.setattr(P, "_PAIR_CHUNK", 16)   # force many pair chunks
+
+    rng = np.random.default_rng(7)
+    templates = []
+    for i in range(6):
+        n = int(rng.integers(4, 20))            # spans lmax buckets 8/16/24
+        t = np.zeros((n, 4), np.float32)
+        t[:, 0:2] = rng.uniform(0, 30, (n, 2))
+        t[:, 2:4] = t[:, 0:2] + rng.uniform(2, 12, (n, 2))
+        templates.append(t)
+    scenes = [templates[0] + np.float32(4.0), templates[3] + np.float32(6.0)]
+
+    params = of.Dt3Params(4, 5.0, 2.0, of.Distance.L2)
+    bank = of.prepare_templates(templates)
+    searcher = of.DefaultSearch(3, 6)
+    optimizer = of.BatchOptimize(5)
+    pen = of.ExponentialPenalty(1.5)
+    lengths = of.get_template_lengths(templates)
+
+    topk = of.match_many(scenes, bank, params, searcher, optimizer,
+                         penalty=pen, template_lengths=lengths, top_k=7)
+    full = of.match_many(scenes, bank, params, searcher, optimizer,
+                         penalty=pen, template_lengths=lengths)
+    for t_list, f_list in zip(topk, full):
+        ranked = of.sort_matches(f_list)[:7]
+        assert len(t_list) == len(ranked) > 0
+        for a, b in zip(t_list, ranked):
+            assert a.tmpl_idx == b.tmpl_idx
+            assert np.isclose(a.score, b.score, rtol=1e-6)
