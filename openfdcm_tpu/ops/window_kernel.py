@@ -1,0 +1,355 @@
+"""Pallas TPU kernel for FDCM window scoring — the probe-gather hot loop.
+
+The FDCM score of a candidate at translation step ``m`` is
+``sum_lines |LI[o, p2 + tr(m)] - LI[o, p1 + tr(m)]|`` (reference
+``dt3cpu.cpp:126-179``); the optimizers evaluate it over a window of steps.
+XLA lowers the per-probe lookups to a scalar gather that sustains only
+~150M probes/s on TPU — the pipeline bottleneck (see ROADMAP.md).
+
+This kernel restructures the evaluation around two facts:
+
+1. Probes of one (candidate, line, endpoint) across the step window lie on a
+   rasterized ray: the major axis advances +-1 per step, so all probes of an
+   item sit inside a small patch of the orientation slice whose row count
+   scales with the minor slope.  Steeper candidates get a reduced covered
+   window (``tc``); the optimizer's straggler path finishes walks that leave
+   the covered window — measured walk lengths are short (median stop 1,
+   p99 ~21), so little ever straggles.
+2. Mosaic supports per-lane dynamic gathers *within one vreg*
+   (``tpu.dynamic_gather`` via ``jnp.take_along_axis`` on (8, 128) blocks)
+   at ~10G elem/s, and dynamic-start vector loads from VMEM when the start
+   is provably tile-aligned (``pl.multiple_of`` with 8 / 128).
+
+Items = (candidate, line) pairs, sorted by (scene, major-axis,
+orientation-slice).  The kernel walks the item stream; on a slice change it
+DMAs that (Q, Q) slice (or its transpose, for y-major items) from HBM into
+VMEM; per item it computes the exact f32 probe coordinates for both line
+endpoints (replicating the reference's op order: ``tr = scene_tr + m*rast``
+then ``p = endpoint + tr``, int-truncated), loads aligned 8-row patch
+chunks, lane-gathers with the exact per-probe lane index, sublane-gathers
+with the per-probe row index, and accumulates ``|v2 - v1| * weight`` into a
+per-candidate accumulator, flushed to HBM per scene.  Patch origins and
+chunk counts are precomputed (vectorized) on the XLA side.
+
+Per-line values are bit-exact vs the XLA path; the per-candidate sum order
+follows the sorted item order (the reference sums in line order — scores
+agree to f32 summation-order tolerance, which the test suite's oracle
+comparisons allow).
+
+Lane layout of the 128-step window: lane l in [0, 64) is step ``m = +l``;
+lane l in [64, 128) is step ``m = -(l - 63)`` (so lane 64 is m = -1).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+K_LANES = 128          # 64 positive steps (incl. m=0) + 64 negative steps
+K_POS = 64             # lane l < 64: m = +l
+TC_MAX = 24            # max covered steps per direction (tunable; beyond
+                       # this the straggler walk continues — walks are short)
+NCH = 4                # max 8-row chunks per patch (steeper candidates get
+                       # a smaller covered window instead of a taller patch)
+STATIC_CHUNKS = True   # unroll the chunk loop (all NCH chunks always run)
+PATCH_W = 256          # two 128-lane chunks
+IB = 256               # items per grid step (SMEM block)
+NF = 18                # f32 fields per item
+
+# field indices
+F_SID, F_SLOT, F_WT, F_TC = 0, 1, 2, 3
+F_E0X, F_E0Y, F_E1X, F_E1Y = 4, 5, 6, 7
+F_VX, F_VY, F_TRX, F_TRY = 8, 9, 10, 11
+F_Y0A0, F_X0A0, F_NCH0 = 12, 13, 14
+F_Y0A1, F_X0A1, F_NCH1 = 15, 16, 17
+
+
+def _m_lanes():
+    l = jax.lax.broadcasted_iota(jnp.int32, (8, K_LANES), 1)
+    return jnp.where(l < K_POS, l, -(l - (K_POS - 1))).astype(jnp.float32)
+
+
+def _kernel(fields_ref, dt3_ref, dt3t_ref, out_ref, slab, acc, state, sem,
+            *, s_dim, c_dim, depth, q):
+    """state: SMEM (2,) int32 = [current sid, current scene b]."""
+    m_f32 = _m_lanes()                                    # (8, K) f32
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, K_LANES), 0)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        acc[...] = jnp.zeros((c_dim, K_LANES), jnp.float32)
+        state[0] = -1
+        state[1] = -1
+
+    def flush(b):
+        cp = pltpu.make_async_copy(acc, out_ref.at[b], sem)
+        cp.start()
+        cp.wait()
+        acc[...] = jnp.zeros((c_dim, K_LANES), jnp.float32)
+
+    def load_slice(sid):
+        d = jax.lax.rem(sid, depth)
+        bt = jax.lax.div(sid, depth)
+        b = jax.lax.div(bt, 2)
+        is_t = jax.lax.rem(bt, 2)
+
+        @pl.when(is_t == 0)
+        def _():
+            cp = pltpu.make_async_copy(dt3_ref.at[b, d], slab, sem)
+            cp.start()
+            cp.wait()
+
+        @pl.when(is_t == 1)
+        def _():
+            cp = pltpu.make_async_copy(dt3t_ref.at[b, d], slab, sem)
+            cp.start()
+            cp.wait()
+
+    def body(it, _):
+        sid = fields_ref[it, F_SID].astype(jnp.int32)
+
+        @pl.when(sid != state[0])
+        def _():
+            b = jax.lax.div(sid, 2 * depth)
+
+            @pl.when((state[1] >= 0) & (b != state[1]) & (state[1] < s_dim))
+            def _():
+                flush(state[1])
+
+            @pl.when(b < s_dim)
+            def _():
+                load_slice(sid)
+            state[0] = sid
+            state[1] = b
+
+        wt = fields_ref[it, F_WT]
+
+        @pl.when(wt > 0.0)
+        def _():
+            slot = fields_ref[it, F_SLOT].astype(jnp.int32)
+            vx = fields_ref[it, F_VX]
+            vy = fields_ref[it, F_VY]
+            trx_l = fields_ref[it, F_TRX] + m_f32 * vx    # (8, K) f32
+            try_l = fields_ref[it, F_TRY] + m_f32 * vy
+
+            y0a0 = pl.multiple_of(fields_ref[it, F_Y0A0].astype(jnp.int32), 8)
+            x0a0 = pl.multiple_of(
+                fields_ref[it, F_X0A0].astype(jnp.int32), 128)
+            y0a1 = pl.multiple_of(fields_ref[it, F_Y0A1].astype(jnp.int32), 8)
+            x0a1 = pl.multiple_of(
+                fields_ref[it, F_X0A1].astype(jnp.int32), 128)
+            nch0 = fields_ref[it, F_NCH0].astype(jnp.int32)
+            nch1 = fields_ref[it, F_NCH1].astype(jnp.int32)
+
+            def probe_idx(ex, ey, x0a, y0a):
+                xi = (ex + trx_l).astype(jnp.int32)
+                yi = (ey + try_l).astype(jnp.int32)
+                li = jnp.clip(xi - x0a, 0, PATCH_W - 1)
+                dy = jnp.clip(yi - y0a, 0, NCH * 8 - 1)
+                return li & 127, li < 128, dy
+
+            lim0, sel0, dy0 = probe_idx(fields_ref[it, F_E0X],
+                                        fields_ref[it, F_E0Y], x0a0, y0a0)
+            lim1, sel1, dy1 = probe_idx(fields_ref[it, F_E1X],
+                                        fields_ref[it, F_E1Y], x0a1, y0a1)
+
+            def one_chunk(k, y0a, x0a, lim, sel, dy, val):
+                ckl = slab[pl.ds(y0a + 8 * k, 8), pl.ds(x0a, 128)]
+                ckr = slab[pl.ds(y0a + 8 * k, 8), pl.ds(x0a + 128, 128)]
+                g = jnp.where(sel, jnp.take_along_axis(ckl, lim, axis=1),
+                              jnp.take_along_axis(ckr, lim, axis=1))
+                h = jnp.take_along_axis(g, jnp.clip(dy - 8 * k, 0, 7),
+                                        axis=0)
+                return jnp.where((dy >= 8 * k) & (dy < 8 * (k + 1)), h, val)
+
+            def chunk(k, carry):
+                v0, v1 = carry
+                v0 = jnp.where(k < nch0,
+                               one_chunk(k, y0a0, x0a0, lim0, sel0, dy0, v0),
+                               v0)
+                v1 = jnp.where(k < nch1,
+                               one_chunk(k, y0a1, x0a1, lim1, sel1, dy1, v1),
+                               v1)
+                return v0, v1
+
+            zero = jnp.zeros((8, K_LANES), jnp.float32)
+            if STATIC_CHUNKS:
+                v0, v1 = zero, zero
+                for k in range(NCH):
+                    v0 = one_chunk(k, y0a0, x0a0, lim0, sel0, dy0, v0)
+                    v1 = one_chunk(k, y0a1, x0a1, lim1, sel1, dy1, v1)
+            else:
+                v0, v1 = jax.lax.fori_loop(0, jnp.maximum(nch0, nch1), chunk,
+                                           (zero, zero))
+            d = jnp.abs(v1 - v0) * wt                     # (8, K) rows equal
+            base = pl.multiple_of((slot // 8) * 8, 8)
+            acc[pl.ds(base, 8), :] = acc[pl.ds(base, 8), :] + \
+                jnp.where(row8 == (slot % 8), d, 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, IB, body, 0)
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _():
+        @pl.when((state[1] >= 0) & (state[1] < s_dim))
+        def _():
+            flush(state[1])
+
+
+def window_scores_device(dt3, dt3t, fields, *, s_dim, c_dim, depth, q):
+    """Run the kernel.  ``fields``: ``(N, NF)`` f32, N a multiple of IB,
+    sorted by ``F_SID``.  Returns ``(S, C, K_LANES)`` f32."""
+    n = fields.shape[0]
+    return pl.pallas_call(
+        partial(_kernel, s_dim=s_dim, c_dim=c_dim, depth=depth, q=q),
+        grid=(n // IB,),
+        in_specs=[
+            pl.BlockSpec((IB, NF), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((s_dim, c_dim, K_LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((q, q), jnp.float32),
+            pltpu.VMEM((c_dim, K_LANES), jnp.float32),
+            pltpu.SMEM((4,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1.25 * 4 * (q * q + c_dim * K_LANES))
+            + 4 * 1024 * 1024,
+        ),
+    )(fields, dt3, dt3t)
+
+
+def build_fields(cand_lines, cand_mask, rast, valid, slice_idx, scene_tr,
+                 *, depth, q):
+    """Construct the sorted item-field array for the kernel.
+
+    ``cand_lines``: ``(S, C, L, 4)`` aligned candidates;
+    ``cand_mask``: ``(S, C, L)``; ``rast``: ``(S, C, 2)`` rasterized align
+    vectors; ``valid``: ``(S, C)``; ``slice_idx``: ``(S, C, L)``;
+    ``scene_tr``: ``(S, 2)``.
+
+    Returns ``(fields (N, NF) f32, tc (S, C) int32)`` with ``N`` a multiple
+    of IB; items sorted by sid; one zero-weight sentinel per scene keeps the
+    kernel's scene-flush logic complete.
+    """
+    s, c, l = cand_mask.shape
+    rx, ry = rast[..., 0], rast[..., 1]
+    finite = jnp.isfinite(rx) & jnp.isfinite(ry)
+    is_x_major = jnp.abs(rx) >= jnp.abs(ry)
+
+    # Swap x/y for y-major candidates so the kernel is major-agnostic
+    # (it then reads the transposed slice).
+    vx = jnp.where(is_x_major, rx, ry)                    # (S, C) |.| == 1
+    vy = jnp.where(is_x_major, ry, rx)
+    trx = jnp.where(is_x_major, scene_tr[:, None, 0], scene_tr[:, None, 1])
+    tr_y = jnp.where(is_x_major, scene_tr[:, None, 1], scene_tr[:, None, 0])
+
+    # Covered steps per direction.  Budgets (see origins below):
+    #   y: floor-value span <= 2*tc*|vy| + 1 (+-1 f32 jitter), patch holds
+    #      NCH*8 rows minus 1 jitter margin and up to 7 alignment rows:
+    #      2*tc*|vy| <= NCH*8 - 12.
+    #   x: lane span <= 2*tc + 2, the 256-lane patch loses up to 127 to
+    #      alignment and 1 to jitter margin: tc <= 62.
+    y_budget = (NCH * 8 - 12) / 2.0
+    avy = jnp.abs(vy)
+    tc = jnp.minimum(float(min(TC_MAX, 62)),
+                     jnp.floor(y_budget / jnp.maximum(avy, 1e-6)))
+    tc = jnp.where(finite, tc, 0.0)                       # (S, C) f32
+
+    ep = cand_lines.reshape(s, c, l, 2, 2)                # [p1, p2] x (x, y)
+    e_x = ep[..., 0]                                      # (S, C, L, 2)
+    e_y = ep[..., 1]
+    e_maj = jnp.where(is_x_major[..., None, None], e_x, e_y)
+    e_min = jnp.where(is_x_major[..., None, None], e_y, e_x)
+
+    # Patch origins per endpoint: monotone extremes of the covered window,
+    # 1-unit margin for f32 rounding jitter between this evaluation and the
+    # kernel's per-lane evaluation.
+    def origin(ex, ey):
+        # ex/ey: (S, C, L); broadcast candidate-level vx/vy/tr/tc
+        tcb = tc[..., None]
+        xa = (ex + (trx[..., None] + (-tcb) * vx[..., None])).astype(jnp.int32)
+        xb = (ex + (trx[..., None] + tcb * vx[..., None])).astype(jnp.int32)
+        ya = (ey + (tr_y[..., None] + (-tcb) * vy[..., None])).astype(jnp.int32)
+        yb = (ey + (tr_y[..., None] + tcb * vy[..., None])).astype(jnp.int32)
+        xm = jnp.minimum(xa, xb) - 1
+        ym = jnp.minimum(ya, yb) - 1
+        ymax = jnp.maximum(ya, yb) + 1
+        x0a = jnp.clip((xm // 128) * 128, 0, q - PATCH_W)
+        y0a = jnp.clip((ym // 8) * 8, 0, q - NCH * 8)
+        nch = jnp.clip((ymax - y0a) // 8 + 1, 1, NCH)
+        return (y0a.astype(jnp.float32), x0a.astype(jnp.float32),
+                nch.astype(jnp.float32))
+
+    y0a0, x0a0, nch0 = origin(e_maj[..., 0], e_min[..., 0])
+    y0a1, x0a1, nch1 = origin(e_maj[..., 1], e_min[..., 1])
+
+    use = cand_mask & valid[..., None] & finite[..., None]
+    wt = use.astype(jnp.float32)
+    scene_id = jax.lax.broadcasted_iota(jnp.int32, (s, c, l), 0)
+    sid = (scene_id * 2 + (~is_x_major[..., None]).astype(jnp.int32)) * depth \
+        + slice_idx.astype(jnp.int32)
+    sid = jnp.where(use, sid, s * 2 * depth)              # skips sort last
+
+    bc = lambda a: jnp.broadcast_to(a[..., None], (s, c, l)).reshape(-1)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (s, c, l), 1)
+    cols = [
+        sid.reshape(-1).astype(jnp.float32),
+        slot.reshape(-1).astype(jnp.float32),
+        wt.reshape(-1),
+        bc(tc),
+        # endpoint p1 (major, minor), endpoint p2 (major, minor)
+        e_maj[..., 0].reshape(-1), e_min[..., 0].reshape(-1),
+        e_maj[..., 1].reshape(-1), e_min[..., 1].reshape(-1),
+        bc(vx), bc(vy), bc(trx), bc(tr_y),
+        y0a0.reshape(-1), x0a0.reshape(-1), nch0.reshape(-1),
+        y0a1.reshape(-1), x0a1.reshape(-1), nch1.reshape(-1),
+    ]
+    fields = jnp.stack(cols, axis=-1)                     # (S*C*L, NF)
+
+    # Sentinels: one zero-weight item per scene, sid = b * 2 * depth.
+    sent = jnp.zeros((s, NF), jnp.float32)
+    sent = sent.at[:, F_SID].set(
+        (jnp.arange(s, dtype=jnp.int32) * 2 * depth).astype(jnp.float32))
+    fields = jnp.concatenate([fields, sent], axis=0)
+
+    n_raw = fields.shape[0]
+    n_pad = -(-n_raw // IB) * IB
+    pad = jnp.zeros((n_pad - n_raw, NF), jnp.float32)
+    pad = pad.at[:, F_SID].set(float(s * 2 * depth))
+    fields = jnp.concatenate([fields, pad], axis=0)
+
+    key = fields[:, F_SID].astype(jnp.int32)
+    _, perm = jax.lax.sort_key_val(key, jnp.arange(n_pad, dtype=jnp.int32))
+    fields = jnp.take(fields, perm, axis=0)
+    return fields, tc.astype(jnp.int32)
+
+
+def window_scores(dt3, scene_tr, cand_lines, cand_mask, rast, valid,
+                  slice_idx):
+    """Full entry: ``dt3 (S, D, Q, Q)`` -> scores ``(S, C, K_LANES)`` plus
+    per-candidate covered steps ``tc (S, C)``.
+
+    Lane l < 64: step ``m = +l``.  Lane l >= 64: step ``m = -(l - 63)``.
+    Steps beyond ``tc`` (either sign) are garbage and must be masked by the
+    caller's chain logic.
+    """
+    s, depth, q, q2 = dt3.shape
+    assert q == q2, "DT3 slices must be square"
+    assert q >= PATCH_W, "kernel needs a canvas of at least PATCH_W"
+    c = cand_mask.shape[1]
+    fields, tc = build_fields(cand_lines, cand_mask, rast, valid, slice_idx,
+                              scene_tr, depth=depth, q=q)
+    dt3t = jnp.swapaxes(dt3, -1, -2)
+    out = window_scores_device(dt3, dt3t, fields, s_dim=s, c_dim=c,
+                               depth=depth, q=q)
+    return out, tc
