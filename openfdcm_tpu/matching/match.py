@@ -130,13 +130,41 @@ _search_device = partial(jax.jit, static_argnames=(
     "lmax", "hw", "mode", "window", "dense_steps"))(_search_core)
 
 
-@partial(jax.jit, static_argnames=("lmax", "hw", "mode", "window", "dense_steps"))
+@partial(jax.jit, static_argnames=("lmax", "hw", "mode", "window",
+                                   "dense_steps", "use_kernel"))
 def _search_device_batch(tmpl_lines, tmpl_mask, pair_t, pair_tl, pair_sl,
                          scenes, dt3_flat, angles, scene_tr, feature_size,
-                         *, lmax, hw, mode, window, dense_steps):
+                         *, lmax, hw, mode, window, dense_steps,
+                         use_kernel=False):
     """Scene-batched search: one dispatch scores a whole scene batch.
     Leading axis S on ``pair_*``, ``scenes``, ``dt3_flat``, ``scene_tr``,
-    ``feature_size``; the template bank and angles are shared."""
+    ``feature_size``; the template bank and angles are shared.
+
+    ``use_kernel``: route the optimizer through the Pallas window kernel
+    (:mod:`openfdcm_tpu.matching.optimize_kernel`)."""
+    if use_kernel:
+        from .optimize_kernel import optimize_candidates_batch_kernel
+        depth = angles.shape[0]
+        s_count = pair_t.shape[0]
+        dt3 = dt3_flat.reshape(s_count, depth, hw[0], hw[1])
+
+        def gen(pt, ptl, psl, sc):
+            aligned, transforms, align_vecs = _make_candidates(
+                tmpl_lines, tmpl_mask, pt, ptl, psl, sc, lmax)
+            p = pt.shape[0]
+            cand_lines = aligned.reshape(2 * p, lmax, 4)
+            cand_mask = jnp.repeat(tmpl_mask[pt], 2, axis=0)
+            cand_align = jnp.repeat(align_vecs, 2, axis=0)
+            return cand_lines, cand_mask, cand_align, \
+                transforms.reshape(2 * p, 2, 3)
+
+        cl, cm, ca, mats = jax.vmap(gen)(pair_t, pair_tl, pair_sl, scenes)
+        scores, translations, valid = optimize_candidates_batch_kernel(
+            dt3, angles, scene_tr, feature_size, cl, cm, ca,
+            mode=mode, window=max(window, 1))
+        mats = mats.at[..., 2].add(translations)
+        return scores, mats, valid
+
     def one(pt, ptl, psl, sc, dt, tr, fs):
         return _search_core(tmpl_lines, tmpl_mask, pt, ptl, psl, sc, dt,
                             angles, tr, fs, lmax=lmax, hw=hw, mode=mode,
@@ -146,11 +174,11 @@ def _search_device_batch(tmpl_lines, tmpl_mask, pair_t, pair_tl, pair_sl,
 
 
 @partial(jax.jit, static_argnames=("lmax", "hw", "mode", "window",
-                                   "dense_steps", "k"))
+                                   "dense_steps", "k", "use_kernel"))
 def _search_device_batch_topk(tmpl_lines, tmpl_mask, pair_t, pair_tl, pair_sl,
                               scenes, dt3_flat, angles, scene_tr, feature_size,
                               lengths, tau, pair_valid, *, lmax, hw, mode,
-                              window, dense_steps, k):
+                              window, dense_steps, k, use_kernel=False):
     """Batched search + device-side penalize + per-scene top-k.
 
     Returns ``(scores_k (S,k), mats_k (S,k,2,3), cand_idx_k (S,k),
@@ -161,7 +189,7 @@ def _search_device_batch_topk(tmpl_lines, tmpl_mask, pair_t, pair_tl, pair_sl,
     scores, mats, valid = _search_device_batch(
         tmpl_lines, tmpl_mask, pair_t, pair_tl, pair_sl, scenes, dt3_flat,
         angles, scene_tr, feature_size, lmax=lmax, hw=hw, mode=mode,
-        window=window, dense_steps=dense_steps)
+        window=window, dense_steps=dense_steps, use_kernel=use_kernel)
     tmpl_of_cand = jnp.repeat(pair_t, 2, axis=1)          # (S, 2P)
     pen = jnp.where(jnp.isnan(tau), 1.0,
                     jnp.power(jnp.maximum(lengths[tmpl_of_cand], 1e-6), tau))
@@ -263,14 +291,28 @@ def search(matcher, searcher, optimizer, featuremap: fm.Dt3Featuremap,
         mats[:, :, 2] += np.asarray(translations)
         mats = jnp.asarray(mats)
     else:
-        scores, mats, valid = _search_device(
-            bank.lines, bank.mask,
-            jnp.asarray(pairs_padded[:, 0]), jnp.asarray(pairs_padded[:, 1]),
-            jnp.asarray(pairs_padded[:, 2]), jnp.asarray(scene_padded),
-            featuremap.dt3.reshape(-1), featuremap.angles,
-            featuremap.scene_translation, feature_size,
-            lmax=lmax, hw=(ph, pw), mode=mode, window=max(window, 1),
-            dense_steps=dense_steps)
+        from .optimize_kernel import kernel_supported
+        if kernel_supported((1, d, ph, pw), mode):
+            scores, mats, valid = _search_device_batch(
+                bank.lines, bank.mask,
+                jnp.asarray(pairs_padded[None, :, 0]),
+                jnp.asarray(pairs_padded[None, :, 1]),
+                jnp.asarray(pairs_padded[None, :, 2]),
+                jnp.asarray(scene_padded)[None],
+                featuremap.dt3.reshape(1, -1), featuremap.angles,
+                featuremap.scene_translation[None], feature_size[None],
+                lmax=lmax, hw=(ph, pw), mode=mode, window=max(window, 1),
+                dense_steps=dense_steps, use_kernel=True)
+            scores, mats, valid = scores[0], mats[0], valid[0]
+        else:
+            scores, mats, valid = _search_device(
+                bank.lines, bank.mask,
+                jnp.asarray(pairs_padded[:, 0]), jnp.asarray(pairs_padded[:, 1]),
+                jnp.asarray(pairs_padded[:, 2]), jnp.asarray(scene_padded),
+                featuremap.dt3.reshape(-1), featuremap.angles,
+                featuremap.scene_translation, feature_size,
+                lmax=lmax, hw=(ph, pw), mode=mode, window=max(window, 1),
+                dense_steps=dense_steps)
 
     scores = np.asarray(scores)
     valid = np.asarray(valid)

@@ -1,0 +1,251 @@
+"""Kernel-backed optimizer path: greedy/batch walks on Pallas window scores.
+
+The Pallas kernel (:mod:`openfdcm_tpu.ops.window_kernel`) evaluates, for
+every candidate at once, the score window ``m in [-tc, +tc]`` around the
+aligned position (``tc <= 24`` steps, smaller for steep rays).  The walk
+logic of the reference optimizers then runs as vectorized mask algebra on
+those windows — identical decision sequences to the reference
+(``defaultoptimize.cpp:49-64``, ``batchoptimize.cpp:60-93``) — and the few
+candidates whose walk leaves the covered window continue on the existing
+XLA-gather lockstep walk (:func:`openfdcm_tpu.matching.optimize._greedy_walk`
+/ ``_batch_walk``), compacted so stragglers cost only their own work.
+
+Scene-batched: operates on ``(S, C, ...)`` candidate tensors against a
+``(S, D, Q, Q)`` DT3 stack in one dispatch.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import geometry as geo
+from ..core import rasterize as ras
+from ..ops import window_kernel as wk
+from . import featuremap as fm
+from . import optimize as opt
+
+_BIG = opt._BIG
+
+
+# ---------------------------------------------------------------------------
+# Coverage-aware chain decisions on precomputed windows
+# ---------------------------------------------------------------------------
+
+def _greedy_chain_cov(scores, t_limit, tcov, state, sign):
+    """One greedy-walk pass over kernel window ``scores (M, H)`` holding
+    steps ``t0 .. t0+H-1`` (t0 = 1), where only steps ``<= tcov`` were
+    evaluated.  Stops caused purely by coverage leave the candidate
+    not-done with ``t_next`` at the first unevaluated step."""
+    prev, best, bmul, done, t0 = state
+    m, h = scores.shape
+    idx = t0[:, None] + jnp.arange(h, dtype=jnp.float32)[None, :]
+    evaluated = idx <= tcov[:, None]
+    in_range = idx <= t_limit[:, None]
+    active = ~done[:, None]
+
+    prev_chain = jnp.concatenate([prev[:, None], scores[:, :-1]], axis=1)
+    ascent = evaluated & (scores > prev_chain)
+    stop = (ascent | ~in_range | ~evaluated) | ~active
+    any_stop = jnp.any(stop, axis=1)
+    k = jnp.where(any_stop, jnp.argmax(stop, axis=1), h)
+
+    lane = jnp.arange(h)[None, :]
+    kept = lane < k[:, None]
+    masked = jnp.where(kept, scores, _BIG)
+    wmin = jnp.min(masked, axis=1)
+    wmin_idx = jnp.argmin(masked, axis=1)          # first occurrence
+    has_kept = k > 0
+    new_prev = jnp.where(has_kept, jnp.take_along_axis(
+        masked, jnp.maximum(k - 1, 0)[:, None], axis=1)[:, 0], prev)
+
+    improve = wmin < best
+    best = jnp.where(improve, wmin, best)
+    bmul = jnp.where(improve, sign * (t0 + wmin_idx.astype(jnp.float32)),
+                     bmul)
+
+    stop_at_k = jnp.take_along_axis(
+        ascent | ~in_range, jnp.minimum(k, h - 1)[:, None], axis=1)[:, 0]
+    ended = any_stop & (k < h) & stop_at_k
+    done = done | ended
+    return new_prev, best, bmul, done, t0 + k.astype(jnp.float32)
+
+
+def _batch_chain_cov(scores, t_limit, tcov, state, sign, batch):
+    """BatchOptimize decisions over kernel window ``scores (M, H)`` (steps
+    ``t0..t0+H-1``, t0 = 1).  A batch is decidable only when all its legal
+    steps were evaluated (``min(batch_end, t_limit) <= tcov``); undecidable
+    batches freeze the candidate (continues on the straggler walk)."""
+    prev, best, bmul, done, t0 = state
+    m, h = scores.shape
+    nb = h // batch
+    hh = nb * batch
+    bmin, barg, last, t0s = opt._batch_stats(scores[:, :hh], t_limit, t0,
+                                             batch)
+
+    def step(carry, inp):
+        st, frozen = carry
+        bmin_i, barg_i, last_i, t0b = inp
+        legal_end = jnp.minimum(t0b + batch - 1, t_limit)
+        decidable = (legal_end <= tcov) & ~frozen
+        nst = opt._batch_step(st, (bmin_i, barg_i, last_i, t0b),
+                              sign=sign, batch=batch, t_limit=t_limit)
+        st = tuple(jnp.where(decidable, n, o) for n, o in zip(nst, st))
+        return (st, frozen | ~decidable), None
+
+    (st, frozen), _ = jax.lax.scan(
+        step, ((prev, best, bmul, done), jnp.zeros_like(done)),
+        (bmin.T, barg.T, last.T, t0s))
+    prev, best, bmul, done = st
+    nb_dec = jnp.clip(jnp.floor(tcov / batch), 0, nb)
+    t_next = t0 + nb_dec * batch
+    return prev, best, bmul, done, t_next
+
+
+# ---------------------------------------------------------------------------
+# Straggler continuation (compacted lockstep walk via the XLA gather path)
+# ---------------------------------------------------------------------------
+
+def _compact_sel(done, b, m):
+    active = ~done
+    slot = jnp.where(active, jnp.cumsum(active.astype(jnp.int32)) - 1, b)
+    return jnp.zeros(b, jnp.int32).at[slot].set(
+        jnp.arange(m, dtype=jnp.int32), mode="drop")
+
+
+def _straggler(state, sign, t_lim, eval_at, chain, walk, window, m):
+    """Finish walks that left the kernel's covered window.
+
+    The kernel's coverage is narrow for steep rays (and only whole batches
+    decide in batch mode), so the straggler population can be a sizable
+    fraction of candidates.  Mirror of the XLA path's compaction schedule
+    (:func:`optimize.optimize_candidates`): dense extension rounds on
+    cumsum-compacted subsets with widening windows, then a compacted
+    lockstep walk, then a full-width walk that only iterates on overflow."""
+    rounds = [(max(64, m // 4), 1), (max(64, m // 8), 2), (max(64, m // 16), 4)]
+    for b, wmult in rounds:
+        h = window * wmult
+        sel = _compact_sel(state[3], b, m)
+        sub = tuple(x[sel] for x in state)
+        dense = eval_at(sign, h, sel)(sub[4])
+        sub = chain(dense, t_lim[sel], sub, sign)
+        state = tuple(x.at[sel].set(v) for x, v in zip(state, sub))
+    b_tail = max(64, m // 8)
+    sel = _compact_sel(state[3], b_tail, m)
+    sub = tuple(x[sel] for x in state)
+    sub = walk(eval_at(sign, window, sel), t_lim[sel], sub, sign, window)
+    state = tuple(x.at[sel].set(v) for x, v in zip(state, sub))
+    return walk(eval_at(sign, window), t_lim, state, sign, window)
+
+
+# ---------------------------------------------------------------------------
+# Entry
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("mode", "window"))
+def optimize_candidates_batch_kernel(dt3, angles, scene_tr, feature_size,
+                                     cand_lines, cand_mask, cand_align, *,
+                                     mode: str, window: int):
+    """Scene-batched optimize using the Pallas window kernel.
+
+    ``dt3``: ``(S, D, Q, Q)``; ``cand_lines``: ``(S, C, L, 4)``;
+    ``cand_mask``: ``(S, C, L)``; ``cand_align``: ``(S, C, 2)``;
+    ``scene_tr`` / ``feature_size``: ``(S, 2)``.
+    Returns ``(scores (S, C), translations (S, C, 2), valid (S, C))``.
+    """
+    s, d, q, _ = dt3.shape
+    c, l = cand_mask.shape[1:]
+    m = s * c
+
+    null_align = geo.relatively_equal(
+        jnp.sum(jnp.abs(cand_align), axis=-1), 0.0)
+    rast = ras.rasterize_vector(cand_align)               # (S, C, 2)
+    neg, pos = fm.minmax_translation_raw(
+        cand_lines, rast, feature_size[:, None, :],
+        scene_tr[:, None, :], cand_mask)
+    valid = jnp.isfinite(neg) & jnp.isfinite(pos) & ~null_align
+
+    theta = geo.get_angle(cand_lines)                     # (S, C, L)
+    slice_idx = fm.closest_orientation_idx(angles, theta)
+
+    win, tc = wk.window_scores(dt3, scene_tr, cand_lines, cand_mask, rast,
+                               valid, slice_idx)
+
+    # --- flatten to one candidate axis ---------------------------------
+    lmf = cand_mask.reshape(m, l).astype(jnp.float32)
+    endpoints = cand_lines.reshape(m, l, 2, 2)
+    scene_of = jnp.repeat(jnp.arange(s, dtype=jnp.int32), c)
+    si_flat = slice_idx.reshape(m, l) + (scene_of * d)[:, None]
+    tr_flat = jnp.repeat(scene_tr, c, axis=0)[:, None, :]  # (M, 1, 2)
+    rast_f = rast.reshape(m, 2)
+    valid_f = valid.reshape(m)
+    safe_rast = jnp.where(valid_f[:, None], rast_f, 0.0)
+    t_pos = jnp.where(valid_f, jnp.trunc(jnp.where(valid_f, pos.reshape(m), 0.0)), 0.0)
+    t_neg = jnp.where(valid_f, jnp.trunc(jnp.where(valid_f, -neg.reshape(m), 0.0)), 0.0)
+    tc_f = tc.reshape(m).astype(jnp.float32)
+
+    s0 = win.reshape(m, wk.K_LANES)[:, 0]
+    pos_scores = win.reshape(m, wk.K_LANES)[:, 1:wk.K_POS]
+    neg_scores = win.reshape(m, wk.K_LANES)[:, wk.K_POS:]
+
+    dt3_flat = dt3.reshape(-1)
+
+    def eval_at(sign, count, sel=None):
+        si = si_flat if sel is None else si_flat[sel]
+        ep = endpoints if sel is None else endpoints[sel]
+        lmm = lmf if sel is None else lmf[sel]
+        sr = safe_rast if sel is None else safe_rast[sel]
+        tr = tr_flat if sel is None else tr_flat[sel]
+
+        def f(t0):
+            return opt._window_scores(dt3_flat, (q, q), si, ep, lmm, tr,
+                                      sr, t0, sign, count)
+        return f
+
+    if mode == "batch":
+        chain_cov = partial(_batch_chain_cov, batch=window)
+        chain = partial(opt._batch_chain, batch=window)
+        walk = opt._batch_walk
+    else:
+        chain_cov = _greedy_chain_cov
+        chain = opt._greedy_chain
+        walk = opt._greedy_walk
+
+    ones = jnp.ones(m, jnp.float32)
+    w = max(window, 1)
+
+    # positive direction
+    state = (s0, s0, jnp.zeros(m, jnp.float32), t_pos < 1, ones)
+    state = chain_cov(pos_scores, t_pos, tc_f, state, 1.0)
+    state = _straggler(state, 1.0, t_pos, eval_at, chain, walk, w, m)
+    prev, best, mul, _, _ = state
+
+    # negative direction
+    neg_prev0 = s0 if mode == "indulgent" else prev
+    nstate = (neg_prev0, best, mul, t_neg < 1, ones)
+    nstate = chain_cov(neg_scores, t_neg, tc_f, nstate, -1.0)
+    nstate = _straggler(nstate, -1.0, t_neg, eval_at, chain, walk, w, m)
+    _, best, mul, _, _ = nstate
+
+    translation = (mul[:, None] * safe_rast).reshape(s, c, 2)
+    return best.reshape(s, c), translation, valid
+
+
+def kernel_supported(dt3_shape, mode: str, mesh=None) -> bool:
+    """Whether the Pallas path applies for this dispatch."""
+    import os
+    flag = os.environ.get("OPENFDCM_TPU_KERNEL", "auto")
+    if flag == "0":
+        return False
+    if len(dt3_shape) != 4 or dt3_shape[-1] != dt3_shape[-2]:
+        return False
+    if dt3_shape[-1] < wk.PATCH_W:
+        return False
+    if mode not in ("default", "indulgent", "batch"):
+        return False
+    if mesh is not None:
+        return False
+    if flag == "1":
+        return True
+    return jax.default_backend() == "tpu"

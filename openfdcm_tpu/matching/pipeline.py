@@ -313,14 +313,24 @@ def _search_chunk_dispatch(searcher, optimizer, featuremaps, templates, scenes,
                     np.float32)
     dense_steps = (-(-int(fs.max()) // 64) * 64) if mode == "dense" else 1
 
-    # Probe cost scales with the padded template line count, so pairs are
-    # BUCKETED by their template's line count (quantum 8) and each bucket
-    # dispatches with its own lmax (the bank tensor is sliced, padded lines
-    # are masked anyway).  Results scatter back into reference emplace order.
+    # Kernel path: the Pallas window kernel skips masked lines at ~zero
+    # cost, so lmax bucketing only fragments dispatches there.
+    from .optimize_kernel import kernel_supported
+    use_kernel = kernel_supported(featuremaps.dt3.shape, mode, mesh)
+
+    # Probe cost in the XLA path scales with the padded template line count,
+    # so pairs are BUCKETED by their template's line count (quantum 8) and
+    # each bucket dispatches with its own lmax (the bank tensor is sliced,
+    # padded lines are masked anyway).  Results scatter back into reference
+    # emplace order.
     counts = np.asarray([t.shape[0] for t in bank.host], np.int64)
-    lmax_of_pair = [np.minimum(-(-counts[p[:, 0]] // 8) * 8, bank.lmax)
-                    if p.size else np.zeros((0,), np.int64)
-                    for p in per_scene_pairs]
+    if use_kernel:
+        lmax_of_pair = [np.full((p.shape[0],), bank.lmax, np.int64)
+                        for p in per_scene_pairs]
+    else:
+        lmax_of_pair = [np.minimum(-(-counts[p[:, 0]] // 8) * 8, bank.lmax)
+                        if p.size else np.zeros((0,), np.int64)
+                        for p in per_scene_pairs]
     lmax_values = sorted({int(v) for lp in lmax_of_pair for v in np.unique(lp)})
 
     scene_dev = jnp.asarray(scene_arr)
@@ -358,10 +368,12 @@ def _search_chunk_dispatch(searcher, optimizer, featuremaps, templates, scenes,
                 for i, s in enumerate(sel):
                     pv[i, : len(s)] = True
                 sk, mk, ik, vk = _search_device_batch_topk(
-                    *args, lengths_dev, tau, jnp.asarray(pv), k=kk, **kwargs)
+                    *args, lengths_dev, tau, jnp.asarray(pv), k=kk,
+                    use_kernel=use_kernel, **kwargs)
                 parts.append((sel, (sk, mk, ik, vk)))
             else:
-                scores, mats, valid = _search_device_batch(*args, **kwargs)
+                scores, mats, valid = _search_device_batch(
+                    *args, use_kernel=use_kernel, **kwargs)
                 parts.append((sel, scores, mats, valid))
 
     mode_tag = "topk" if (post is not None and mesh is None) else "full"

@@ -59,6 +59,7 @@ STATIC_CHUNKS = True   # unroll the chunk loop (all NCH chunks always run)
 PATCH_W = 256          # two 128-lane chunks
 IB = 256               # items per grid step (SMEM block)
 NF = 18                # f32 fields per item
+INTERPRET = False      # run the kernel in the Pallas interpreter (CPU tests)
 
 # field indices
 F_SID, F_SLOT, F_WT, F_TC = 0, 1, 2, 3
@@ -225,6 +226,7 @@ def window_scores_device(dt3, dt3t, fields, *, s_dim, c_dim, depth, q):
             vmem_limit_bytes=int(1.25 * 4 * (q * q + c_dim * K_LANES))
             + 4 * 1024 * 1024,
         ),
+        interpret=INTERPRET,
     )(fields, dt3, dt3t)
 
 

@@ -1,0 +1,167 @@
+"""CPU tests of the Pallas window-kernel path (interpreter mode) and the
+coverage-aware chain logic of :mod:`openfdcm_tpu.matching.optimize_kernel`.
+
+The kernel itself is exercised on real TPU hardware by
+``scripts/test_window_kernel_tpu.py``; here the Pallas interpreter checks
+the same item/field machinery on CPU, and the chain decisions are pinned
+against the uncovered-window chains of :mod:`openfdcm_tpu.matching.optimize`.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from openfdcm_tpu.core import rasterize as ras
+from openfdcm_tpu.matching import featuremap as fm
+from openfdcm_tpu.matching import optimize as opt
+from openfdcm_tpu.matching import optimize_kernel as ok
+from openfdcm_tpu.ops import window_kernel as wk
+
+
+# ---------------------------------------------------------------------------
+# chain-with-coverage logic
+# ---------------------------------------------------------------------------
+
+def _rand_state(rng, m):
+    prev = jnp.asarray(rng.uniform(5, 20, m).astype(np.float32))
+    best = prev
+    bmul = jnp.zeros(m, jnp.float32)
+    done = jnp.asarray(rng.uniform(size=m) < 0.2)
+    t0 = jnp.ones(m, jnp.float32)
+    return prev, best, bmul, done, t0
+
+
+def test_greedy_chain_cov_full_coverage_matches_plain():
+    rng = np.random.default_rng(0)
+    m, h = 64, 31
+    scores = jnp.asarray(rng.uniform(0, 30, (m, h)).astype(np.float32))
+    t_lim = jnp.asarray(rng.integers(0, 40, m).astype(np.float32))
+    state = _rand_state(rng, m)
+    tcov = jnp.full((m,), 1e9, jnp.float32)
+    got = ok._greedy_chain_cov(scores, t_lim, tcov, state, 1.0)
+    want = opt._greedy_chain(scores, t_lim, state, 1.0)
+    # prev/best/bmul/done identical when everything is covered
+    for g, w in zip(got[:4], want[:4]):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_greedy_chain_cov_coverage_stop_not_done():
+    # Descending scores, coverage cuts at step 3, limit far away:
+    # candidate must NOT be done, resume at step 4, prev = score at step 3.
+    scores = jnp.asarray([[9.0, 8.0, 7.0, 6.0, 5.0]], jnp.float32)
+    t_lim = jnp.asarray([100.0])
+    tcov = jnp.asarray([3.0])
+    state = (jnp.asarray([10.0]), jnp.asarray([10.0]), jnp.zeros(1),
+             jnp.asarray([False]), jnp.ones(1))
+    prev, best, bmul, done, t_next = ok._greedy_chain_cov(
+        scores, t_lim, tcov, state, 1.0)
+    assert not bool(done[0])
+    assert float(t_next[0]) == 4.0
+    assert float(prev[0]) == 7.0
+    assert float(best[0]) == 7.0 and float(bmul[0]) == 3.0
+
+
+def test_greedy_chain_cov_ascent_within_coverage_is_done():
+    scores = jnp.asarray([[9.0, 11.0, 1.0, 1.0, 1.0]], jnp.float32)
+    t_lim = jnp.asarray([100.0])
+    tcov = jnp.asarray([3.0])
+    state = (jnp.asarray([10.0]), jnp.asarray([10.0]), jnp.zeros(1),
+             jnp.asarray([False]), jnp.ones(1))
+    prev, best, bmul, done, _ = ok._greedy_chain_cov(
+        scores, t_lim, tcov, state, 1.0)
+    assert bool(done[0])
+    assert float(best[0]) == 9.0 and float(bmul[0]) == 1.0
+
+
+def test_greedy_chain_cov_t_limit_stop_is_done():
+    scores = jnp.asarray([[9.0, 8.0, 7.0, 6.0, 5.0]], jnp.float32)
+    t_lim = jnp.asarray([2.0])
+    tcov = jnp.asarray([100.0])
+    state = (jnp.asarray([10.0]), jnp.asarray([10.0]), jnp.zeros(1),
+             jnp.asarray([False]), jnp.ones(1))
+    prev, best, bmul, done, _ = ok._greedy_chain_cov(
+        scores, t_lim, tcov, state, 1.0)
+    assert bool(done[0])
+    assert float(best[0]) == 8.0 and float(bmul[0]) == 2.0
+
+
+def test_batch_chain_cov_full_coverage_matches_plain():
+    rng = np.random.default_rng(1)
+    m, h, b = 48, 30, 10
+    scores = jnp.asarray(rng.uniform(0, 30, (m, h)).astype(np.float32))
+    t_lim = jnp.asarray(rng.integers(0, 40, m).astype(np.float32))
+    state = _rand_state(rng, m)
+    tcov = jnp.full((m,), 1e9, jnp.float32)
+    got = ok._batch_chain_cov(scores, t_lim, tcov, state, 1.0, b)
+    want = opt._batch_chain(scores, t_lim, state, 1.0, b)
+    for g, w in zip(got[:4], want[:4]):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_batch_chain_cov_freezes_uncovered_batches():
+    # 2 batches of 5; coverage 7 -> only batch 1 decidable.
+    scores = jnp.asarray([[9, 8, 7, 6, 5, 4, 3, 2, 1, 0.5]], jnp.float32)
+    t_lim = jnp.asarray([100.0])
+    tcov = jnp.asarray([7.0])
+    state = (jnp.asarray([10.0]), jnp.asarray([10.0]), jnp.zeros(1),
+             jnp.asarray([False]), jnp.ones(1))
+    prev, best, bmul, done, t_next = ok._batch_chain_cov(
+        scores, t_lim, tcov, state, 1.0, 5)
+    assert not bool(done[0])
+    assert float(t_next[0]) == 6.0          # resume at batch 2
+    assert float(best[0]) == 5.0 and float(bmul[0]) == 5.0
+    assert float(prev[0]) == 5.0
+
+
+# ---------------------------------------------------------------------------
+# full kernel path in the Pallas interpreter (small shapes)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def interpret_kernel(monkeypatch):
+    monkeypatch.setattr(wk, "INTERPRET", True)
+    monkeypatch.setenv("OPENFDCM_TPU_KERNEL", "1")
+    yield
+
+
+def test_window_scores_interpret_matches_xla(interpret_kernel):
+    rng = np.random.default_rng(7)
+    s, c, l, d, q = 2, 8, 4, 6, 256
+    dt3 = jnp.asarray(rng.uniform(0, 100, (s, d, q, q)).astype(np.float32))
+    scene_tr = jnp.asarray(rng.uniform(10, 30, (s, 2)).astype(np.float32))
+    center = rng.uniform(q * 0.35, q * 0.65, (s, c, l, 2)).astype(np.float32)
+    delta = rng.uniform(-8, 8, (s, c, l, 2)).astype(np.float32)
+    cand_lines = jnp.asarray(
+        np.concatenate([center - delta, center + delta], axis=-1)
+        - np.concatenate([scene_tr, scene_tr], axis=-1)[:, None, None, :])
+    cand_mask = jnp.asarray(rng.uniform(size=(s, c, l)) < 0.8)
+    ang = rng.uniform(0, 2 * np.pi, (s, c)).astype(np.float32)
+    align = jnp.asarray(np.stack([np.cos(ang), np.sin(ang)], -1))
+    rast = ras.rasterize_vector(align)
+    valid = jnp.asarray(rng.uniform(size=(s, c)) < 0.9)
+    slice_idx = jnp.asarray(rng.integers(0, d, (s, c, l)).astype(np.int32))
+
+    kout, tc = wk.window_scores(dt3, scene_tr, cand_lines, cand_mask, rast,
+                                valid, slice_idx)
+
+    lane = jnp.arange(wk.K_LANES)
+    mm = jnp.where(lane < wk.K_POS, lane, -(lane - (wk.K_POS - 1))) \
+        .astype(jnp.float32)
+    trans = scene_tr[:, None, None, :] + \
+        mm[None, None, :, None] * rast[:, :, None, :]
+
+    def one(dt3_s, si, ep, lm, tr):
+        return fm.evaluate_batched(dt3_s.reshape(-1), (q, q), si, ep, lm, tr)
+    xout = jax.vmap(one)(dt3, slice_idx,
+                         cand_lines.reshape(s, c, l, 2, 2),
+                         cand_mask.astype(jnp.float32), trans)
+
+    m_abs = np.where(np.arange(wk.K_LANES) < wk.K_POS,
+                     np.arange(wk.K_LANES),
+                     np.arange(wk.K_LANES) - (wk.K_POS - 1))
+    check = (m_abs[None, None, :] <= np.asarray(tc)[:, :, None]) \
+        & np.asarray(valid)[:, :, None]
+    kn, xn = np.asarray(kout), np.asarray(xout)
+    rel = np.abs(kn - xn) / np.maximum(np.abs(xn), 1.0)
+    assert check.sum() > 400
+    assert (rel[check] < 1e-5).all(), rel[check].max()
