@@ -63,23 +63,21 @@ def _deltas(r: np.float32, n: int) -> np.ndarray:
     return d
 
 
-def _sweep_perm(flip: jax.Array, n_log: jax.Array, n_phys: int) -> jax.Array:
-    """Sweep-order permutation (an involution, so it maps both ways):
-    logical columns first (reversed when ``flip``), trailing physical padding
-    keeps its identity position."""
-    j = jnp.arange(n_phys, dtype=jnp.int32)
-    flipped = jnp.where(j < n_log, n_log - 1 - j, j)
-    return jnp.where(flip, flipped, j)
+def _sweep_scan(img: jax.Array, deltas_by_col: jax.Array, flip: bool) -> jax.Array:
+    """Integrate along axis 1 in sweep order.
 
+    carry = col + shift(prev_carry, delta); out-of-range rows receive no
+    contribution (zero fill), exactly like the reference's block-window add
+    (``imgproc.h:59-62``).
 
-def _sweep_scan(img: jax.Array, perm: jax.Array, deltas: jax.Array) -> jax.Array:
-    """Integrate along axis 1 visiting columns in sweep order ``perm``.
-
-    carry_j = col_{perm[j]} + shift(carry_{j-1}, deltas[j]); out-of-range rows
-    receive no contribution (zero fill), exactly like the reference's
-    block-window add (``imgproc.h:59-62``).
+    Sweep order visits the logical columns (reversed when ``flip``) before
+    the zero-valued physical padding.  A flipped sweep is a plain reversed
+    scan over the physical axis: the padding is then visited first, but it
+    only accumulates zeros, so every logical column sees exactly the
+    reference carry — no permutation gathers needed.  ``deltas_by_col``
+    holds each column's sweep-position delta.
     """
-    cols = img[:, perm].T  # (W_sweep, H) in sweep order
+    cols = img.T  # (W, H)
 
     def step(carry, inp):
         col, d = inp
@@ -89,8 +87,9 @@ def _sweep_scan(img: jax.Array, perm: jax.Array, deltas: jax.Array) -> jax.Array
         new = col + shifted
         return new, new
 
-    _, out = jax.lax.scan(step, jnp.zeros_like(cols[0]), (cols, deltas))
-    return out[perm].T  # back to physical column order, (H, W)
+    _, out = jax.lax.scan(step, jnp.zeros_like(cols[0]),
+                          (cols, deltas_by_col), reverse=flip)
+    return out.T  # (H, W), already in physical column order
 
 
 def line_integral(img: jax.Array, angle: float) -> jax.Array:
@@ -123,16 +122,29 @@ def _line_integral_stack(imgs: jax.Array, logical_hw: jax.Array, *, angles):
     out = [None] * d
     for x_major, idxs, flips, dels in groups:
         n_log = logical_hw[1] if x_major else logical_hw[0]
-        group = imgs[np.array(idxs)]
-        if not x_major:
-            group = jnp.swapaxes(group, 1, 2)
-        n_phys = group.shape[2]
-        perms = jax.vmap(lambda f: _sweep_perm(f, n_log, n_phys))(jnp.asarray(flips))
-        res = jax.vmap(_sweep_scan)(group, perms, jnp.asarray(dels))
-        if not x_major:
-            res = jnp.swapaxes(res, 1, 2)
-        for k, i in enumerate(idxs):
-            out[i] = res[k]
+        for flip_val in (False, True):
+            sub = [k for k, f in enumerate(flips) if bool(f) == flip_val]
+            if not sub:
+                continue
+            sub_idxs = [idxs[k] for k in sub]
+            group = imgs[np.array(sub_idxs)]
+            if not x_major:
+                group = jnp.swapaxes(group, 1, 2)
+            n_phys = group.shape[2]
+            dsub = jnp.asarray(dels[np.array(sub)])          # (G, W) sweep order
+            if flip_val:
+                # column c holds sweep position n_log-1-c (padding: unused)
+                col = jnp.arange(n_phys)
+                pidx = jnp.clip(n_log - 1 - col, 0, n_phys - 1)
+                dcol = jnp.where(col[None, :] < n_log,
+                                 jnp.take(dsub, pidx, axis=1), 0)
+            else:
+                dcol = dsub
+            res = jax.vmap(partial(_sweep_scan, flip=flip_val))(group, dcol)
+            if not x_major:
+                res = jnp.swapaxes(res, 1, 2)
+            for k, i in enumerate(sub_idxs):
+                out[i] = res[k]
     return jnp.stack(out)
 
 

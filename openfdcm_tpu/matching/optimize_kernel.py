@@ -98,7 +98,7 @@ def _batch_chain_cov(scores, t_limit, tcov, state, sign, batch):
         step, ((prev, best, bmul, done), jnp.zeros_like(done)),
         (bmin.T, barg.T, last.T, t0s))
     prev, best, bmul, done = st
-    nb_dec = jnp.clip(jnp.floor(tcov / batch), 0, nb)
+    nb_dec = jnp.clip(jnp.floor((tcov - t0 + 1) / batch), 0, nb)
     t_next = t0 + nb_dec * batch
     return prev, best, bmul, done, t_next
 
@@ -114,24 +114,24 @@ def _compact_sel(done, b, m):
         jnp.arange(m, dtype=jnp.int32), mode="drop")
 
 
-def _straggler(state, sign, t_lim, eval_at, chain, walk, window, m):
+def _straggler(state, sign, t_lim, chain_cov, walk, eval_at, window, m,
+               ext_eval):
     """Finish walks that left the kernel's covered window.
 
-    The kernel's coverage is narrow for steep rays (and only whole batches
-    decide in batch mode), so the straggler population can be a sizable
-    fraction of candidates.  Mirror of the XLA path's compaction schedule
-    (:func:`optimize.optimize_candidates`): dense extension rounds on
-    cumsum-compacted subsets with widening windows, then a compacted
-    lockstep walk, then a full-width walk that only iterates on overflow."""
-    rounds = [(max(64, m // 4), 1), (max(64, m // 8), 2), (max(64, m // 16), 4)]
-    for b, wmult in rounds:
-        h = window * wmult
-        sel = _compact_sel(state[3], b, m)
+    Two kernel EXTENSION passes on cumsum-compacted subsets — the same
+    Pallas kernel re-aimed at per-candidate resume steps (64 forward steps
+    per pass, full coverage even for steep rays) — then a small lockstep
+    XLA walk backstop, then a full-width walk that only iterates in the
+    (never-seen) overflow case."""
+    b_ext = max(256, m // 16)
+    for _ in range(2):
+        sel = _compact_sel(state[3], b_ext, m)
         sub = tuple(x[sel] for x in state)
-        dense = eval_at(sign, h, sel)(sub[4])
-        sub = chain(dense, t_lim[sel], sub, sign)
+        scores, cover = ext_eval(sel, ~sub[3], sign, sub[4])
+        tc_abs = sub[4] + cover.astype(jnp.float32)
+        sub = chain_cov(scores, t_lim[sel], tc_abs, sub, sign)
         state = tuple(x.at[sel].set(v) for x, v in zip(state, sub))
-    b_tail = max(64, m // 8)
+    b_tail = max(64, m // 64)
     sel = _compact_sel(state[3], b_tail, m)
     sub = tuple(x[sel] for x in state)
     sub = walk(eval_at(sign, window, sel), t_lim[sel], sub, sign, window)
@@ -169,14 +169,20 @@ def optimize_candidates_batch_kernel(dt3, angles, scene_tr, feature_size,
     theta = geo.get_angle(cand_lines)                     # (S, C, L)
     slice_idx = fm.closest_orientation_idx(angles, theta)
 
-    win, tc = wk.window_scores(dt3, scene_tr, cand_lines, cand_mask, rast,
-                               valid, slice_idx)
+    fields, tc = wk.build_fields(cand_lines, cand_mask, rast, valid,
+                                 slice_idx, scene_tr, depth=d, q=q)
+    dt3t = jnp.swapaxes(dt3, -1, -2)
+    win = wk.window_scores_device(dt3, dt3t, fields, s_dim=s, c_dim=c,
+                                  depth=d, q=q)
 
     # --- flatten to one candidate axis ---------------------------------
     lmf = cand_mask.reshape(m, l).astype(jnp.float32)
+    cl_flat = cand_lines.reshape(m, l, 4)
+    cm_flat = cand_mask.reshape(m, l)
+    si_raw = slice_idx.reshape(m, l)
     endpoints = cand_lines.reshape(m, l, 2, 2)
     scene_of = jnp.repeat(jnp.arange(s, dtype=jnp.int32), c)
-    si_flat = slice_idx.reshape(m, l) + (scene_of * d)[:, None]
+    si_flat = si_raw + (scene_of * d)[:, None]
     tr_flat = jnp.repeat(scene_tr, c, axis=0)[:, None, :]  # (M, 1, 2)
     rast_f = rast.reshape(m, 2)
     valid_f = valid.reshape(m)
@@ -205,27 +211,33 @@ def optimize_candidates_batch_kernel(dt3, angles, scene_tr, feature_size,
 
     if mode == "batch":
         chain_cov = partial(_batch_chain_cov, batch=window)
-        chain = partial(opt._batch_chain, batch=window)
         walk = opt._batch_walk
     else:
         chain_cov = _greedy_chain_cov
-        chain = opt._greedy_chain
         walk = opt._greedy_walk
 
     ones = jnp.ones(m, jnp.float32)
     w = max(window, 1)
 
+    def ext_eval(sel, active, sign, t0):
+        vdir = jnp.float32(sign) * rast_f[sel]
+        return wk.window_scores_ext(
+            dt3, dt3t, cl_flat[sel], cm_flat[sel], vdir, active,
+            si_raw[sel], scene_of[sel], scene_tr, t0)
+
     # positive direction
     state = (s0, s0, jnp.zeros(m, jnp.float32), t_pos < 1, ones)
     state = chain_cov(pos_scores, t_pos, tc_f, state, 1.0)
-    state = _straggler(state, 1.0, t_pos, eval_at, chain, walk, w, m)
+    state = _straggler(state, 1.0, t_pos, chain_cov, walk, eval_at, w, m,
+                       ext_eval)
     prev, best, mul, _, _ = state
 
     # negative direction
     neg_prev0 = s0 if mode == "indulgent" else prev
     nstate = (neg_prev0, best, mul, t_neg < 1, ones)
     nstate = chain_cov(neg_scores, t_neg, tc_f, nstate, -1.0)
-    nstate = _straggler(nstate, -1.0, t_neg, eval_at, chain, walk, w, m)
+    nstate = _straggler(nstate, -1.0, t_neg, chain_cov, walk, eval_at, w, m,
+                        ext_eval)
     _, best, mul, _, _ = nstate
 
     translation = (mul[:, None] * safe_rast).reshape(s, c, 2)

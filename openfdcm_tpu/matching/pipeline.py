@@ -63,9 +63,10 @@ class Dt3FeaturemapBatch:
             feature_size=self.feature_sizes[i], params=self.params)
 
 
-@partial(jax.jit, static_argnames=("depth", "phys_h", "phys_w", "metric", "angles"))
-def _featuremap_device_batch(lines, line_mask, logical_hw, wmat, *,
-                             depth, phys_h, phys_w, metric, angles):
+@partial(jax.jit, static_argnames=("depth", "phys_h", "phys_w", "metric",
+                                   "angles", "coeff"))
+def _featuremap_device_batch(lines, line_mask, logical_hw, *,
+                             depth, phys_h, phys_w, metric, angles, coeff):
     """Batched DT3 build.  The indicator scatter, orientation propagation,
     and line integral vmap trivially; the separable DT runs UN-vmapped on
     the whole ``(S, depth, PH, PW)`` stack — its row pass flattens all
@@ -81,7 +82,7 @@ def _featuremap_device_batch(lines, line_mask, logical_hw, wmat, *,
     dt3 = dt_from_indicator(ind, metric=metric)
     dt3 = jnp.where(jax.vmap(lambda lhw: fm._logical_mask(lhw, phys_h, phys_w))(
         logical_hw)[:, None], dt3, 0.0)
-    dt3 = jax.vmap(lambda d: fm.propagate_orientation(d, wmat))(dt3)
+    dt3 = fm.propagate_orientation_relax(dt3, fm.propagation_steps(angles, coeff))
     return jax.vmap(lambda d, lhw: integral.line_integral_stack(
         d, list(angles), logical_hw=lhw))(dt3, logical_hw)
 
@@ -111,11 +112,11 @@ def build_featuremap_batch(scenes, params: fm.Dt3Params = fm.Dt3Params(),
         trs[i] = tr
 
     angles = fm.make_angles(params.depth)
-    wmat = fm.propagation_weights(angles, params.dt3_coeff)
     dt3 = _featuremap_device_batch(
         jnp.asarray(lines), jnp.asarray(mask), jnp.asarray(lhw),
-        jnp.asarray(wmat), depth=params.depth, phys_h=phys, phys_w=phys,
-        metric=params.distance, angles=tuple(float(a) for a in angles))
+        depth=params.depth, phys_h=phys, phys_w=phys,
+        metric=params.distance, angles=tuple(float(a) for a in angles),
+        coeff=float(params.dt3_coeff))
     return Dt3FeaturemapBatch(
         dt3=dt3, angles=jnp.asarray(angles), scene_translations=jnp.asarray(trs),
         feature_sizes=tuple((w, h) for _, (w, h) in metas), params=params)

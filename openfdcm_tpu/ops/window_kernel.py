@@ -58,7 +58,7 @@ NCH = 4                # max 8-row chunks per patch (steeper candidates get
 STATIC_CHUNKS = True   # unroll the chunk loop (all NCH chunks always run)
 PATCH_W = 256          # two 128-lane chunks
 IB = 256               # items per grid step (SMEM block)
-NF = 18                # f32 fields per item
+NF = 19                # f32 fields per item
 INTERPRET = False      # run the kernel in the Pallas interpreter (CPU tests)
 
 # field indices
@@ -67,6 +67,8 @@ F_E0X, F_E0Y, F_E1X, F_E1Y = 4, 5, 6, 7
 F_VX, F_VY, F_TRX, F_TRY = 8, 9, 10, 11
 F_Y0A0, F_X0A0, F_NCH0 = 12, 13, 14
 F_Y0A1, F_X0A1, F_NCH1 = 15, 16, 17
+F_T0 = 18              # step offset: probe steps are t0 + m_lane (main
+                       # pass: 0; straggler extension pass: the resume step)
 
 
 def _m_lanes():
@@ -75,8 +77,12 @@ def _m_lanes():
 
 
 def _kernel(fields_ref, dt3_ref, dt3t_ref, out_ref, slab, acc, state, sem,
-            *, s_dim, c_dim, depth, q):
-    """state: SMEM (2,) int32 = [current sid, current scene b]."""
+            *, s_dim, c_dim, depth, q, single_flush=False):
+    """state: SMEM (2,) int32 = [current sid, current scene b].
+
+    ``single_flush``: accumulator slots span the whole item stream (one
+    output row-bank), written once at the end — used by the straggler
+    extension pass, whose compacted candidate subset mixes scenes."""
     m_f32 = _m_lanes()                                    # (8, K) f32
     row8 = jax.lax.broadcasted_iota(jnp.int32, (8, K_LANES), 0)
 
@@ -117,9 +123,11 @@ def _kernel(fields_ref, dt3_ref, dt3t_ref, out_ref, slab, acc, state, sem,
         def _():
             b = jax.lax.div(sid, 2 * depth)
 
-            @pl.when((state[1] >= 0) & (b != state[1]) & (state[1] < s_dim))
-            def _():
-                flush(state[1])
+            if not single_flush:
+                @pl.when((state[1] >= 0) & (b != state[1])
+                         & (state[1] < s_dim))
+                def _():
+                    flush(state[1])
 
             @pl.when(b < s_dim)
             def _():
@@ -134,8 +142,9 @@ def _kernel(fields_ref, dt3_ref, dt3t_ref, out_ref, slab, acc, state, sem,
             slot = fields_ref[it, F_SLOT].astype(jnp.int32)
             vx = fields_ref[it, F_VX]
             vy = fields_ref[it, F_VY]
-            trx_l = fields_ref[it, F_TRX] + m_f32 * vx    # (8, K) f32
-            try_l = fields_ref[it, F_TRY] + m_f32 * vy
+            m_used = m_f32 + fields_ref[it, F_T0]         # exact int add
+            trx_l = fields_ref[it, F_TRX] + m_used * vx   # (8, K) f32
+            try_l = fields_ref[it, F_TRY] + m_used * vy
 
             y0a0 = pl.multiple_of(fields_ref[it, F_Y0A0].astype(jnp.int32), 8)
             x0a0 = pl.multiple_of(
@@ -196,17 +205,24 @@ def _kernel(fields_ref, dt3_ref, dt3t_ref, out_ref, slab, acc, state, sem,
 
     @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
     def _():
-        @pl.when((state[1] >= 0) & (state[1] < s_dim))
-        def _():
-            flush(state[1])
+        if single_flush:
+            flush(0)
+        else:
+            @pl.when((state[1] >= 0) & (state[1] < s_dim))
+            def _():
+                flush(state[1])
 
 
-def window_scores_device(dt3, dt3t, fields, *, s_dim, c_dim, depth, q):
+def window_scores_device(dt3, dt3t, fields, *, s_dim, c_dim, depth, q,
+                         single_flush=False):
     """Run the kernel.  ``fields``: ``(N, NF)`` f32, N a multiple of IB,
-    sorted by ``F_SID``.  Returns ``(S, C, K_LANES)`` f32."""
+    sorted by ``F_SID``.  Returns ``(S, C, K_LANES)`` f32 (S = 1 when
+    ``single_flush``)."""
     n = fields.shape[0]
+    out_s = 1 if single_flush else s_dim
     return pl.pallas_call(
-        partial(_kernel, s_dim=s_dim, c_dim=c_dim, depth=depth, q=q),
+        partial(_kernel, s_dim=s_dim, c_dim=c_dim, depth=depth, q=q,
+                single_flush=single_flush),
         grid=(n // IB,),
         in_specs=[
             pl.BlockSpec((IB, NF), lambda i: (i, 0),
@@ -215,7 +231,7 @@ def window_scores_device(dt3, dt3t, fields, *, s_dim, c_dim, depth, q):
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((s_dim, c_dim, K_LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((out_s, c_dim, K_LANES), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((q, q), jnp.float32),
             pltpu.VMEM((c_dim, K_LANES), jnp.float32),
@@ -315,6 +331,7 @@ def build_fields(cand_lines, cand_mask, rast, valid, slice_idx, scene_tr,
         bc(vx), bc(vy), bc(trx), bc(tr_y),
         y0a0.reshape(-1), x0a0.reshape(-1), nch0.reshape(-1),
         y0a1.reshape(-1), x0a1.reshape(-1), nch1.reshape(-1),
+        jnp.zeros(s * c * l, jnp.float32),                # F_T0
     ]
     fields = jnp.stack(cols, axis=-1)                     # (S*C*L, NF)
 
@@ -334,6 +351,109 @@ def build_fields(cand_lines, cand_mask, rast, valid, slice_idx, scene_tr,
     _, perm = jax.lax.sort_key_val(key, jnp.arange(n_pad, dtype=jnp.int32))
     fields = jnp.take(fields, perm, axis=0)
     return fields, tc.astype(jnp.int32)
+
+
+def build_fields_ext(cand_lines, cand_mask, vdir, active, slice_idx,
+                     scene_of, scene_tr, t0, *, depth, q):
+    """Item fields for the straggler EXTENSION pass.
+
+    A compacted flat candidate subset (``b`` candidates, possibly spanning
+    scenes): lanes ``l < 64`` hold steps ``m = t0 + l`` along ``vdir`` (the
+    walk direction already folded into the rasterized vector's sign); lanes
+    >= 64 are garbage.  ``scene_of``: ``(b,)`` scene of each candidate;
+    ``t0``: ``(b,)`` resume step.  Returns ``(fields, cover (b,) int32)``
+    where steps ``t0 .. t0+cover`` are validly covered.
+    """
+    b, l = cand_mask.shape
+    rx, ry = vdir[..., 0], vdir[..., 1]
+    finite = jnp.isfinite(rx) & jnp.isfinite(ry)
+    is_x_major = jnp.abs(rx) >= jnp.abs(ry)
+    vx = jnp.where(is_x_major, rx, ry)
+    vy = jnp.where(is_x_major, ry, rx)
+    str_x = scene_tr[scene_of]                            # (b, 2)
+    trx = jnp.where(is_x_major, str_x[:, 0], str_x[:, 1])
+    tr_y = jnp.where(is_x_major, str_x[:, 1], str_x[:, 0])
+
+    # one-sided coverage: floor-span <= cover*|vy| + 1 (+-1 jitter), patch
+    # holds NCH*8 rows minus 1 jitter margin and up to 7 alignment rows.
+    y_budget = float(NCH * 8 - 12)
+    avy = jnp.abs(vy)
+    cover = jnp.minimum(62.0, jnp.floor(y_budget / jnp.maximum(avy, 1e-6)))
+    cover = jnp.where(finite & active, cover, 0.0)
+
+    ep = cand_lines.reshape(b, l, 2, 2)
+    e_x = ep[..., 0]
+    e_y = ep[..., 1]
+    e_maj = jnp.where(is_x_major[..., None, None], e_x, e_y)
+    e_min = jnp.where(is_x_major[..., None, None], e_y, e_x)
+
+    def origin(ex, ey):
+        t_lo = t0[..., None]
+        t_hi = (t0 + cover)[..., None]
+        xa = (ex + (trx[..., None] + t_lo * vx[..., None])).astype(jnp.int32)
+        xb = (ex + (trx[..., None] + t_hi * vx[..., None])).astype(jnp.int32)
+        ya = (ey + (tr_y[..., None] + t_lo * vy[..., None])).astype(jnp.int32)
+        yb = (ey + (tr_y[..., None] + t_hi * vy[..., None])).astype(jnp.int32)
+        xm = jnp.minimum(xa, xb) - 1
+        ym = jnp.minimum(ya, yb) - 1
+        ymax = jnp.maximum(ya, yb) + 1
+        x0a = jnp.clip((xm // 128) * 128, 0, q - PATCH_W)
+        y0a = jnp.clip((ym // 8) * 8, 0, q - NCH * 8)
+        nch = jnp.clip((ymax - y0a) // 8 + 1, 1, NCH)
+        return (y0a.astype(jnp.float32), x0a.astype(jnp.float32),
+                nch.astype(jnp.float32))
+
+    y0a0, x0a0, nch0 = origin(e_maj[..., 0], e_min[..., 0])
+    y0a1, x0a1, nch1 = origin(e_maj[..., 1], e_min[..., 1])
+
+    use = cand_mask & active[..., None] & finite[..., None]
+    wt = use.astype(jnp.float32)
+    sid = (scene_of[:, None] * 2 + (~is_x_major[:, None]).astype(jnp.int32)) \
+        * depth + slice_idx.astype(jnp.int32)
+    s_max = int(scene_tr.shape[0])
+    sid = jnp.where(use, sid, s_max * 2 * depth)
+
+    bc = lambda a: jnp.broadcast_to(a[..., None], (b, l)).reshape(-1)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (b, l), 0)
+    cols = [
+        sid.reshape(-1).astype(jnp.float32),
+        slot.reshape(-1).astype(jnp.float32),
+        wt.reshape(-1),
+        bc(cover),
+        e_maj[..., 0].reshape(-1), e_min[..., 0].reshape(-1),
+        e_maj[..., 1].reshape(-1), e_min[..., 1].reshape(-1),
+        bc(vx), bc(vy), bc(trx), bc(tr_y),
+        y0a0.reshape(-1), x0a0.reshape(-1), nch0.reshape(-1),
+        y0a1.reshape(-1), x0a1.reshape(-1), nch1.reshape(-1),
+        bc(t0),
+    ]
+    fields = jnp.stack(cols, axis=-1)
+
+    n_raw = fields.shape[0]
+    n_pad = -(-n_raw // IB) * IB
+    pad = jnp.zeros((n_pad - n_raw, NF), jnp.float32)
+    pad = pad.at[:, F_SID].set(float(s_max * 2 * depth))
+    fields = jnp.concatenate([fields, pad], axis=0)
+
+    key = fields[:, F_SID].astype(jnp.int32)
+    _, perm = jax.lax.sort_key_val(key, jnp.arange(n_pad, dtype=jnp.int32))
+    fields = jnp.take(fields, perm, axis=0)
+    return fields, cover.astype(jnp.int32)
+
+
+def window_scores_ext(dt3, dt3t, cand_lines, cand_mask, vdir, active,
+                      slice_idx, scene_of, scene_tr, t0):
+    """Extension-pass scores: ``(b, 64)`` where lane l is step ``t0 + l``
+    along ``vdir``, plus per-candidate covered steps ``cover (b,)``
+    (steps t0..t0+cover are valid)."""
+    s, depth, q, _ = dt3.shape
+    b = cand_mask.shape[0]
+    fields, cover = build_fields_ext(cand_lines, cand_mask, vdir, active,
+                                     slice_idx, scene_of, scene_tr, t0,
+                                     depth=depth, q=q)
+    out = window_scores_device(dt3, dt3t, fields, s_dim=s, c_dim=b,
+                               depth=depth, q=q, single_flush=True)
+    return out[0, :, :K_POS], cover
 
 
 def window_scores(dt3, scene_tr, cand_lines, cand_mask, rast, valid,

@@ -129,6 +129,10 @@ def test_propagate_orientation_closed_form():
     stack = jnp.stack([img] + [jnp.full((h, w), jnp.inf, jnp.float32)] * 3)
     wmat = fmap.propagation_weights(angles, coeff)
     out = np.asarray(fmap.propagate_orientation(stack, jnp.asarray(wmat)))
+    # the build path's reference-order relaxation must agree
+    out_relax = np.asarray(fmap.propagate_orientation_relax(
+        stack, fmap.propagation_steps(tuple(float(a) for a in angles), coeff)))
+    assert np.allclose(out, out_relax, atol=1e-5)
     d1 = out[0][0, 29]
     assert d1 == 29.0
     for k in range(4):
