@@ -22,7 +22,6 @@ import numpy as np
 from ..core import geometry as geo
 from . import featuremap as fm
 from . import optimize as opt
-from .search import establish_search_strategy
 
 
 @dataclasses.dataclass
@@ -76,9 +75,11 @@ def _make_candidates(tmpl_lines, tmpl_mask, tmpl_of_cand, cand_tmpl_line,
 @dataclasses.dataclass(frozen=True)
 class TemplateBank:
     """Device-resident padded template bank (upload once, search many)."""
-    lines: jax.Array   # (T, lmax, 4)
-    mask: jax.Array    # (T, lmax)
-    host: tuple        # per-template host (N_i, 4) arrays (search strategies)
+    lines: jax.Array       # (T, lmax, 4)
+    mask: jax.Array        # (T, lmax)
+    host: tuple            # per-template host (N_i, 4) arrays (search strategies)
+    lengths_np: np.ndarray = None   # (T, lmax) f32 per-line lengths (padded 0)
+    counts_np: np.ndarray = None    # (T,) int64 real line counts
 
     @property
     def lmax(self) -> int:
@@ -95,7 +96,11 @@ def prepare_templates(templates) -> TemplateBank:
     for i, t in enumerate(tmpls):
         tbank[i, : t.shape[0]] = t
         tmask[i, : t.shape[0]] = True
-    return TemplateBank(jnp.asarray(tbank), jnp.asarray(tmask), tuple(tmpls))
+    d = tbank[:, :, 2:4] - tbank[:, :, 0:2]
+    lengths = np.sqrt(d[..., 0] ** 2 + d[..., 1] ** 2).astype(np.float32)
+    counts = tmask.sum(axis=1).astype(np.int64)
+    return TemplateBank(jnp.asarray(tbank), jnp.asarray(tmask), tuple(tmpls),
+                        lengths, counts)
 
 
 def _search_core(tmpl_lines, tmpl_mask, tmpl_of_cand, cand_tmpl_line,
@@ -131,11 +136,11 @@ _search_device = partial(jax.jit, static_argnames=(
 
 
 @partial(jax.jit, static_argnames=("lmax", "hw", "mode", "window",
-                                   "dense_steps", "use_kernel"))
+                                   "dense_steps", "use_kernel", "items_cap"))
 def _search_device_batch(tmpl_lines, tmpl_mask, pair_t, pair_tl, pair_sl,
                          scenes, dt3_flat, angles, scene_tr, feature_size,
                          *, lmax, hw, mode, window, dense_steps,
-                         use_kernel=False):
+                         use_kernel=False, items_cap=None):
     """Scene-batched search: one dispatch scores a whole scene batch.
     Leading axis S on ``pair_*``, ``scenes``, ``dt3_flat``, ``scene_tr``,
     ``feature_size``; the template bank and angles are shared.
@@ -161,7 +166,7 @@ def _search_device_batch(tmpl_lines, tmpl_mask, pair_t, pair_tl, pair_sl,
         cl, cm, ca, mats = jax.vmap(gen)(pair_t, pair_tl, pair_sl, scenes)
         scores, translations, valid = optimize_candidates_batch_kernel(
             dt3, angles, scene_tr, feature_size, cl, cm, ca,
-            mode=mode, window=max(window, 1))
+            mode=mode, window=max(window, 1), items_cap=items_cap)
         mats = mats.at[..., 2].add(translations)
         return scores, mats, valid
 
@@ -174,11 +179,13 @@ def _search_device_batch(tmpl_lines, tmpl_mask, pair_t, pair_tl, pair_sl,
 
 
 @partial(jax.jit, static_argnames=("lmax", "hw", "mode", "window",
-                                   "dense_steps", "k", "use_kernel"))
+                                   "dense_steps", "k", "use_kernel",
+                                   "items_cap"))
 def _search_device_batch_topk(tmpl_lines, tmpl_mask, pair_t, pair_tl, pair_sl,
                               scenes, dt3_flat, angles, scene_tr, feature_size,
                               lengths, tau, pair_valid, *, lmax, hw, mode,
-                              window, dense_steps, k, use_kernel=False):
+                              window, dense_steps, k, use_kernel=False,
+                              items_cap=None):
     """Batched search + device-side penalize + per-scene top-k.
 
     Returns ``(scores_k (S,k), mats_k (S,k,2,3), cand_idx_k (S,k),
@@ -189,7 +196,8 @@ def _search_device_batch_topk(tmpl_lines, tmpl_mask, pair_t, pair_tl, pair_sl,
     scores, mats, valid = _search_device_batch(
         tmpl_lines, tmpl_mask, pair_t, pair_tl, pair_sl, scenes, dt3_flat,
         angles, scene_tr, feature_size, lmax=lmax, hw=hw, mode=mode,
-        window=window, dense_steps=dense_steps, use_kernel=use_kernel)
+        window=window, dense_steps=dense_steps, use_kernel=use_kernel,
+        items_cap=items_cap)
     tmpl_of_cand = jnp.repeat(pair_t, 2, axis=1)          # (S, 2P)
     pen = jnp.where(jnp.isnan(tau), 1.0,
                     jnp.power(jnp.maximum(lengths[tmpl_of_cand], 1e-6), tau))
@@ -242,16 +250,10 @@ def search(matcher, searcher, optimizer, featuremap: fm.Dt3Featuremap,
         return []
 
     # --- host: combinations per template -------------------------------
-    pairs = []  # (tmpl_id, tmpl_line_idx, scene_line_idx)
-    for ti, t in enumerate(bank.host):
-        if t.shape[0] == 0:
-            continue
-        combos = establish_search_strategy(searcher, t, scene_arr)
-        for tl, sl in combos:
-            pairs.append((ti, tl, sl))
-    if not pairs:
+    from .pipeline import _bank_pairs_for_scene
+    pairs = _bank_pairs_for_scene(searcher, bank, scene_arr)
+    if pairs.shape[0] == 0:
         return []
-    pairs = np.array(pairs, np.int32)
     p = pairs.shape[0]
     lmax = bank.lmax
 
@@ -293,6 +295,8 @@ def search(matcher, searcher, optimizer, featuremap: fm.Dt3Featuremap,
     else:
         from .optimize_kernel import kernel_supported
         if kernel_supported((1, d, ph, pw), mode):
+            counts_arr = np.asarray([t.shape[0] for t in bank.host], np.int64)
+            n_items = int(2 * counts_arr[pairs_padded[:, 0]].sum()) + 1
             scores, mats, valid = _search_device_batch(
                 bank.lines, bank.mask,
                 jnp.asarray(pairs_padded[None, :, 0]),
@@ -302,7 +306,8 @@ def search(matcher, searcher, optimizer, featuremap: fm.Dt3Featuremap,
                 featuremap.dt3.reshape(1, -1), featuremap.angles,
                 featuremap.scene_translation[None], feature_size[None],
                 lmax=lmax, hw=(ph, pw), mode=mode, window=max(window, 1),
-                dense_steps=dense_steps, use_kernel=True)
+                dense_steps=dense_steps, use_kernel=True,
+                items_cap=-(-n_items // 4096) * 4096)
             scores, mats, valid = scores[0], mats[0], valid[0]
         else:
             scores, mats, valid = _search_device(

@@ -143,10 +143,11 @@ def _straggler(state, sign, t_lim, chain_cov, walk, eval_at, window, m,
 # Entry
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("mode", "window"))
+@partial(jax.jit, static_argnames=("mode", "window", "items_cap"))
 def optimize_candidates_batch_kernel(dt3, angles, scene_tr, feature_size,
                                      cand_lines, cand_mask, cand_align, *,
-                                     mode: str, window: int):
+                                     mode: str, window: int,
+                                     items_cap: int | None = None):
     """Scene-batched optimize using the Pallas window kernel.
 
     ``dt3``: ``(S, D, Q, Q)``; ``cand_lines``: ``(S, C, L, 4)``;
@@ -170,7 +171,8 @@ def optimize_candidates_batch_kernel(dt3, angles, scene_tr, feature_size,
     slice_idx = fm.closest_orientation_idx(angles, theta)
 
     fields, tc = wk.build_fields(cand_lines, cand_mask, rast, valid,
-                                 slice_idx, scene_tr, depth=d, q=q)
+                                 slice_idx, scene_tr, depth=d, q=q,
+                                 cap=items_cap)
     dt3t = jnp.swapaxes(dt3, -1, -2)
     win = wk.window_scores_device(dt3, dt3t, fields, s_dim=s, c_dim=c,
                                   depth=d, q=q)

@@ -27,11 +27,27 @@ from . import optimize as opt
 from .match import Match, TemplateBank, prepare_templates, _bucket, \
     _search_device_batch, _search_device_batch_sharded, \
     _search_device_batch_topk
-from .search import establish_search_strategy
+from .search import establish_search_strategy, bank_pairs, DefaultSearch, \
+    ConcentricRangeStrategy
 
 # Max (pair x scene) product per device dispatch; beyond this the pair axis
 # splits into chunks (large-bank support).
 _PAIR_CHUNK = 40_000
+
+
+def _bank_pairs_for_scene(searcher, bank, scene_arr) -> np.ndarray:
+    """(tmpl_id, tmpl_line, scene_line) pairs of the whole bank vs one scene,
+    reference emplace order; vectorized for the built-in strategies."""
+    if isinstance(searcher, (DefaultSearch, ConcentricRangeStrategy)) \
+            and bank.lengths_np is not None:
+        return bank_pairs(searcher, bank.lengths_np, bank.counts_np, scene_arr)
+    pairs = []
+    for ti, t in enumerate(bank.host):
+        if t.shape[0] == 0:
+            continue
+        for tl, sl in establish_search_strategy(searcher, t, scene_arr):
+            pairs.append((ti, tl, sl))
+    return np.asarray(pairs, np.int32).reshape(-1, 3)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -124,7 +140,7 @@ def build_featuremap_batch(scenes, params: fm.Dt3Params = fm.Dt3Params(),
 
 def match_many(scenes, templates, params: fm.Dt3Params, searcher, optimizer,
                penalty=None, template_lengths=None, pad_to: int = 128,
-               scene_chunk: int = 8, top_k: int | None = None,
+               scene_chunk: int | None = None, top_k: int | None = None,
                mesh=None) -> list:
     """End-to-end matching for a list of scenes.
 
@@ -151,13 +167,21 @@ def match_many(scenes, templates, params: fm.Dt3Params, searcher, optimizer,
 
     # Bound the candidate count per device dispatch (HBM working set):
     # a 114-template bank at DefaultSearch(4,10) is ~9.2k candidates/scene
-    # and 8 scenes/dispatch is safe; scale down for bigger banks.
+    # and 8 scenes/dispatch is safe; scale down for bigger banks.  The
+    # Pallas-kernel path has a leaner working set (no dense gather
+    # operands), so it takes bigger chunks.
     try:
         mt, ms = searcher.get_max_tmpl_lines(), searcher.get_max_scene_lines()
         c_per_scene = 2 * sum(min(t.shape[0], mt) for t in bank.host) * ms
     except AttributeError:
         c_per_scene = 2 * 40 * len(bank.host)
-    scene_chunk = max(1, min(scene_chunk, 75_000 // max(c_per_scene, 1)))
+    mode_probe, _ = opt.optimizer_mode(optimizer)
+    from .optimize_kernel import kernel_supported
+    kern_likely = kernel_supported((1, 1, 512, 512), mode_probe, mesh)
+    budget = 160_000 if kern_likely else 75_000
+    if scene_chunk is None:
+        scene_chunk = 16 if kern_likely else 8
+    scene_chunk = max(1, min(scene_chunk, budget // max(c_per_scene, 1)))
     if mesh is not None:
         # Data-parallel scenes: each device handles scene_chunk scenes, so a
         # dispatch covers n_devices * scene_chunk of them.
@@ -286,15 +310,7 @@ def _search_chunk_dispatch(searcher, optimizer, featuremaps, templates, scenes,
     s_count = len(featuremaps)
     arrs = [geo.as_lines_np(s) for s in scenes]
 
-    per_scene_pairs = []
-    for a in arrs:
-        pairs = []
-        for ti, t in enumerate(bank.host):
-            if t.shape[0] == 0:
-                continue
-            for tl, sl in establish_search_strategy(searcher, t, a):
-                pairs.append((ti, tl, sl))
-        per_scene_pairs.append(np.asarray(pairs, np.int32).reshape(-1, 3))
+    per_scene_pairs = [_bank_pairs_for_scene(searcher, bank, a) for a in arrs]
 
     pmax = max((p.shape[0] for p in per_scene_pairs), default=0)
     if pmax == 0:
@@ -337,8 +353,10 @@ def _search_chunk_dispatch(searcher, optimizer, featuremaps, templates, scenes,
     scene_dev = jnp.asarray(scene_arr)
     dt3_dev = featuremaps.dt3.reshape(s_count, -1)
     # Very large template banks (10k+) can exceed the per-dispatch HBM
-    # working set even at one scene; split the pair axis as well.
-    max_pairs = max(_PAIR_CHUNK // max(s_count, 1), 64)
+    # working set even at one scene; split the pair axis as well.  The
+    # kernel path's working set is leaner (no dense gather operands).
+    pair_budget = _PAIR_CHUNK * (4 if use_kernel else 1)
+    max_pairs = max(pair_budget // max(s_count, 1), 64)
     parts = []
     for lv in lmax_values:
         sel_full = [np.nonzero(lp == lv)[0] for lp in lmax_of_pair]
@@ -353,6 +371,12 @@ def _search_chunk_dispatch(searcher, optimizer, featuremaps, templates, scenes,
                 pair_arr[i, : len(s)] = p[s]
             kwargs = dict(lmax=lv, hw=(ph, pw), mode=mode,
                           window=max(window, 1), dense_steps=dense_steps)
+            if use_kernel:
+                # Masked/invalid items sort to the end of the kernel's item
+                # stream; truncate the grid at the real-item count (bucketed
+                # so repeated dispatches share compiles).
+                n_items = int(2 * counts[pair_arr[:, :, 0]].sum()) + s_count
+                kwargs["items_cap"] = -(-n_items // 4096) * 4096
             args = (bank.lines[:, :lv], bank.mask[:, :lv],
                     jnp.asarray(pair_arr[:, :, 0]), jnp.asarray(pair_arr[:, :, 1]),
                     jnp.asarray(pair_arr[:, :, 2]), scene_dev,

@@ -96,6 +96,77 @@ def _pair_by_length(tmpl_lengths, scene_lengths, scene_ids, max_tmpl, max_scene)
     return np.array(out, np.int64).reshape(-1, 2)
 
 
+def bank_pairs(strategy, tmpl_lengths_padded: np.ndarray, counts: np.ndarray,
+               scene_lines: np.ndarray) -> np.ndarray:
+    """All (tmpl_id, tmpl_line, scene_line) pairs for a whole template bank
+    against one scene, in reference emplace order — one vectorized pass
+    instead of a per-template loop.
+
+    ``tmpl_lengths_padded``: ``(T, Lmax)`` per-template line lengths (any
+    value beyond ``counts[t]`` is ignored); ``counts``: ``(T,)`` real line
+    counts.  Only DefaultSearch / ConcentricRangeStrategy are supported;
+    other strategies fall back to :func:`establish_search_strategy`.
+    """
+    from ..core import geometry as geo
+    scene = geo.as_lines_np(scene_lines)
+    t_count, lmax = tmpl_lengths_padded.shape
+    if scene.shape[0] == 0 or t_count == 0:
+        return np.zeros((0, 3), np.int32)
+
+    if isinstance(strategy, ConcentricRangeStrategy):
+        centers = (scene[:, 0:2] + scene[:, 2:4]) / 2
+        cp = np.asarray(strategy.center_position, np.float32)
+        radius = np.sqrt(((centers - cp) ** 2).sum(axis=1)).astype(np.float32)
+        keep = (radius > (np.float32(strategy.low_boundary) - _F32_EPS)) & \
+               (radius < np.float32(strategy.high_boundary))
+        scene_ids = np.nonzero(keep)[0]
+    elif isinstance(strategy, DefaultSearch):
+        scene_ids = np.arange(scene.shape[0])
+    else:
+        raise TypeError(f"unknown search strategy {strategy!r}")
+    if len(scene_ids) == 0:
+        return np.zeros((0, 3), np.int32)
+
+    mt = min(strategy.max_tmpl_lines, lmax)
+    ms = strategy.max_scene_lines
+    if mt == 0:
+        return np.zeros((0, 3), np.int32)
+    scene_len = _lengths(scene[scene_ids])
+    order_s = np.argsort(-scene_len, kind="stable")
+    ssl = scene_len[order_s]
+    n = len(ssl)
+    w = min(ms, n)
+
+    # per-template top-mt lines by length (stable desc, padding last)
+    lens = np.where(np.arange(lmax)[None, :] < counts[:, None],
+                    tmpl_lengths_padded, -np.inf)
+    ord_t = np.argsort(-lens, axis=1, kind="stable")[:, :mt]    # (T, mt)
+    k_t = np.minimum(counts, mt)                                # (T,)
+    rank_ok = np.arange(mt)[None, :] < k_t[:, None]             # (T, mt)
+    vals = np.take_along_axis(lens, ord_t, axis=1)              # (T, mt)
+
+    # vectorized _closest_desc on the descending ssl
+    v = vals.reshape(-1).astype(np.float32)
+    i = np.searchsorted(-ssl, -v, side="left")
+    ic = np.clip(i, 1, n - 1)
+    closer = np.abs(v - ssl[np.clip(i, 0, n - 1)]) < np.abs(v - ssl[ic - 1])
+    c = np.where(i == 0, 0,
+                 np.where(i >= n, n - 1, np.where(closer, np.clip(i, 0, n - 1),
+                                                  ic - 1)))
+    # get_centered_range, width always min(ms, n)
+    begin = np.maximum(0, c - ms // 2)
+    end = np.minimum(begin + ms, n)
+    begin = np.maximum(0, end - ms)                             # (T*mt,)
+
+    sl_sorted = begin[:, None] + np.arange(w)[None, :]          # (T*mt, w)
+    sl = np.asarray(scene_ids)[order_s[sl_sorted]].reshape(t_count, mt, w)
+    tl = np.broadcast_to(ord_t[:, :, None], (t_count, mt, w))
+    ti = np.broadcast_to(np.arange(t_count)[:, None, None], (t_count, mt, w))
+    out = np.stack([ti, tl, sl], axis=-1).reshape(-1, 3)
+    mask = np.broadcast_to(rank_ok[:, :, None], (t_count, mt, w)).reshape(-1)
+    return np.ascontiguousarray(out[mask]).astype(np.int32)
+
+
 def establish_search_strategy(strategy, tmpl_lines, scene_lines) -> np.ndarray:
     """Returns ``(M, 2)`` array of (tmpl_line_idx, scene_line_idx)."""
     from ..core import geometry as geo

@@ -247,7 +247,7 @@ def window_scores_device(dt3, dt3t, fields, *, s_dim, c_dim, depth, q,
 
 
 def build_fields(cand_lines, cand_mask, rast, valid, slice_idx, scene_tr,
-                 *, depth, q):
+                 *, depth, q, cap=None):
     """Construct the sorted item-field array for the kernel.
 
     ``cand_lines``: ``(S, C, L, 4)`` aligned candidates;
@@ -258,6 +258,11 @@ def build_fields(cand_lines, cand_mask, rast, valid, slice_idx, scene_tr,
     Returns ``(fields (N, NF) f32, tc (S, C) int32)`` with ``N`` a multiple
     of IB; items sorted by sid; one zero-weight sentinel per scene keeps the
     kernel's scene-flush logic complete.
+
+    ``cap``: static upper bound on the number of NON-skip items (masked /
+    invalid items sort to the end, so the stream can be truncated there and
+    the kernel grid shrinks accordingly).  Must be an IB multiple and count
+    the per-scene sentinels.
     """
     s, c, l = cand_mask.shape
     rx, ry = rast[..., 0], rast[..., 1]
@@ -349,6 +354,8 @@ def build_fields(cand_lines, cand_mask, rast, valid, slice_idx, scene_tr,
 
     key = fields[:, F_SID].astype(jnp.int32)
     _, perm = jax.lax.sort_key_val(key, jnp.arange(n_pad, dtype=jnp.int32))
+    if cap is not None and cap < n_pad:
+        perm = perm[:cap]
     fields = jnp.take(fields, perm, axis=0)
     return fields, tc.astype(jnp.int32)
 
