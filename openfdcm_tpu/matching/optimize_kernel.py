@@ -108,29 +108,30 @@ def _batch_chain_cov(scores, t_limit, tcov, state, sign, batch):
 # ---------------------------------------------------------------------------
 
 def _compact_sel(done, b, m):
-    active = ~done
-    slot = jnp.where(active, jnp.cumsum(active.astype(jnp.int32)) - 1, b)
-    return jnp.zeros(b, jnp.int32).at[slot].set(
-        jnp.arange(m, dtype=jnp.int32), mode="drop")
+    """First ``b`` active candidate indices (actives in index order; spare
+    slots hold the lowest done candidates — processing those is a no-op).
+    Stable sort instead of cumsum+scatter: XLA's TPU scatter is ~40x slower
+    than its sort."""
+    order = jnp.argsort(done.astype(jnp.int32), stable=True)
+    return order[:b].astype(jnp.int32)
 
 
 def _straggler(state, sign, t_lim, chain_cov, walk, eval_at, window, m,
                ext_eval):
     """Finish walks that left the kernel's covered window.
 
-    Two kernel EXTENSION passes on cumsum-compacted subsets — the same
-    Pallas kernel re-aimed at per-candidate resume steps (64 forward steps
-    per pass, full coverage even for steep rays) — then a small lockstep
-    XLA walk backstop, then a full-width walk that only iterates in the
-    (never-seen) overflow case."""
+    One kernel EXTENSION pass on a cumsum-compacted subset — the same
+    Pallas kernel re-aimed at per-candidate resume steps (64 forward steps,
+    full coverage even for steep rays; walks rarely go further) — then a
+    small lockstep XLA walk backstop, then a full-width walk that only
+    iterates in the (never-seen) overflow case."""
     b_ext = max(256, m // 16)
-    for _ in range(2):
-        sel = _compact_sel(state[3], b_ext, m)
-        sub = tuple(x[sel] for x in state)
-        scores, cover = ext_eval(sel, ~sub[3], sign, sub[4])
-        tc_abs = sub[4] + cover.astype(jnp.float32)
-        sub = chain_cov(scores, t_lim[sel], tc_abs, sub, sign)
-        state = tuple(x.at[sel].set(v) for x, v in zip(state, sub))
+    sel = _compact_sel(state[3], b_ext, m)
+    sub = tuple(x[sel] for x in state)
+    scores, cover = ext_eval(sel, ~sub[3], sign, sub[4])
+    tc_abs = sub[4] + cover.astype(jnp.float32)
+    sub = chain_cov(scores, t_lim[sel], tc_abs, sub, sign)
+    state = tuple(x.at[sel].set(v) for x, v in zip(state, sub))
     b_tail = max(64, m // 64)
     sel = _compact_sel(state[3], b_tail, m)
     sub = tuple(x[sel] for x in state)
