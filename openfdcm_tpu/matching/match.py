@@ -213,14 +213,25 @@ def _search_device_batch_topk(tmpl_lines, tmpl_mask, pair_t, pair_tl, pair_sl,
 def _search_device_batch_sharded(mesh, tmpl_lines, tmpl_mask, pair_t, pair_tl,
                                  pair_sl, scenes, dt3_flat, angles, scene_tr,
                                  feature_size, *, lmax, hw, mode, window,
-                                 dense_steps, axis="scene"):
+                                 dense_steps, axis="scene", use_kernel=False,
+                                 items_cap=None):
     """Scene-data-parallel batched search: the scene axis is sharded over a
     mesh; the template bank and angles are replicated.  Per-scene work is
-    independent, so there is no cross-device traffic inside the search."""
+    independent, so there is no cross-device traffic inside the search.
+
+    ``use_kernel``: each device runs the Pallas window-kernel optimizer on
+    its local scene shard (``items_cap`` is the per-device item bound)."""
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
     def local(pt, ptl, psl, sc, dt, tr, fs):
+        if use_kernel:
+            return _search_device_batch(
+                tmpl_lines, tmpl_mask, pt, ptl, psl, sc, dt, angles, tr, fs,
+                lmax=lmax, hw=hw, mode=mode, window=window,
+                dense_steps=dense_steps, use_kernel=True,
+                items_cap=items_cap)
+
         def one(pt1, ptl1, psl1, sc1, dt1, tr1, fs1):
             return _search_core(tmpl_lines, tmpl_mask, pt1, ptl1, psl1, sc1,
                                 dt1, angles, tr1, fs1, lmax=lmax, hw=hw,

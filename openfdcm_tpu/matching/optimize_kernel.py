@@ -259,8 +259,7 @@ def kernel_supported(dt3_shape, mode: str, mesh=None) -> bool:
         return False
     if mode not in ("default", "indulgent", "batch"):
         return False
-    if mesh is not None:
-        return False
+    del mesh  # scene-sharded meshes run the kernel per device
     if flag == "1":
         return True
     return jax.default_backend() == "tpu"

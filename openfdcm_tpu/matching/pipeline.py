@@ -371,7 +371,7 @@ def _search_chunk_dispatch(searcher, optimizer, featuremaps, templates, scenes,
                 pair_arr[i, : len(s)] = p[s]
             kwargs = dict(lmax=lv, hw=(ph, pw), mode=mode,
                           window=max(window, 1), dense_steps=dense_steps)
-            if use_kernel:
+            if use_kernel and mesh is None:
                 # Masked/invalid items sort to the end of the kernel's item
                 # stream; truncate the grid at the real-item count (bucketed
                 # so repeated dispatches share compiles).
@@ -383,6 +383,17 @@ def _search_chunk_dispatch(searcher, optimizer, featuremaps, templates, scenes,
                     dt3_dev, featuremaps.angles,
                     featuremaps.scene_translations, jnp.asarray(fs))
             if mesh is not None:
+                if use_kernel:
+                    # per-device item bound: scenes shard in contiguous
+                    # blocks along the mesh axis
+                    n_dp = mesh.shape.get("scene", 1)
+                    k_sh = max(s_count // n_dp, 1)
+                    per_scene = np.asarray(
+                        [2 * int(counts[pair_arr[i, :, 0]].sum()) + 1
+                         for i in range(s_count)], np.int64)
+                    cap_dev = int(per_scene.reshape(-1, k_sh).sum(axis=1).max())
+                    kwargs["items_cap"] = -(-cap_dev // 4096) * 4096
+                    kwargs["use_kernel"] = True
                 scores, mats, valid = _search_device_batch_sharded(
                     mesh, *args, **kwargs)
                 parts.append((sel, scores, mats, valid))

@@ -165,3 +165,35 @@ def test_window_scores_interpret_matches_xla(interpret_kernel):
     rel = np.abs(kn - xn) / np.maximum(np.abs(xn), 1.0)
     assert check.sum() > 400
     assert (rel[check] < 1e-5).all(), rel[check].max()
+
+
+def test_match_many_scene_mesh_kernel(interpret_kernel):
+    """Scene-sharded mesh + kernel path (per-device Pallas in shard_map,
+    interpreter mode) matches the meshless XLA path."""
+    import openfdcm_tpu as of
+    from openfdcm_tpu.parallel import make_mesh
+    from tests.utils import create_lines, make_rotation
+
+    tmpl = create_lines(6, 110.0)
+    rot = make_rotation(0.4)
+    scene = (rot[:, :2] @ tmpl.reshape(-1, 2).T).T.reshape(-1, 4) + 45.0
+    scenes = [scene, scene * 0.95]
+    templates = [tmpl, tmpl * 0.8]
+    params = of.Dt3Params(8, 5.0, 2.2, of.Distance.L2)
+    mesh = make_mesh(shape=(2,), axis_names=("scene",))
+
+    kwargs = dict(penalty=of.ExponentialPenalty(1.5), pad_to=256)
+    with_mesh = of.match_many(scenes, templates, params,
+                              of.DefaultSearch(3, 4), of.BatchOptimize(5),
+                              mesh=mesh, **kwargs)
+    import os
+    os.environ["OPENFDCM_TPU_KERNEL"] = "0"
+    plain = of.match_many(scenes, templates, params,
+                          of.DefaultSearch(3, 4), of.BatchOptimize(5),
+                          **kwargs)
+    for ma, mb in zip(with_mesh, plain):
+        assert len(ma) == len(mb)
+        for x, y in zip(ma, mb):
+            assert x.tmpl_idx == y.tmpl_idx
+            assert abs(x.score - y.score) <= 1e-5 * max(abs(x.score), 1.0)
+            np.testing.assert_allclose(x.transform, y.transform, atol=1e-4)
