@@ -103,15 +103,40 @@ def dt_from_indicator(ind: jax.Array, *, metric: Distance) -> jax.Array:
     g2 = jnp.minimum(g * g, jnp.inf)
     rows = g2.reshape(-1, w)
     r_total = rows.shape[0]
-    pad = (-r_total) % _ROW_BLOCK
-    rows = jnp.pad(rows, ((0, pad), (0, 0)), constant_values=jnp.inf)
-    blocks = rows.reshape(-1, _ROW_BLOCK, w)
-    out = jax.lax.map(_minplus_quadratic_rows, blocks)
+    if _use_banded_rows(w):
+        # Pallas kernel banded by the L1 distance bound (exact: the winning
+        # source is within d_L2 <= d_L1 of its pixel).
+        from ..ops.minplus_kernel import minplus_rows_banded, RB
+        l1 = _nearest_1d_l1(g).reshape(-1, w)
+        pad = (-r_total) % RB
+        rows_p = jnp.pad(rows, ((0, pad), (0, 0)), constant_values=jnp.inf)
+        l1_p = jnp.pad(l1, ((0, pad), (0, 0)), constant_values=0.0)
+        out = minplus_rows_banded(rows_p, l1_p)
+    else:
+        pad = (-r_total) % _ROW_BLOCK
+        rows_p = jnp.pad(rows, ((0, pad), (0, 0)), constant_values=jnp.inf)
+        blocks = rows_p.reshape(-1, _ROW_BLOCK, w)
+        out = jax.lax.map(_minplus_quadratic_rows, blocks)
     out = out.reshape(-1, w)[:r_total].reshape(*lead, h, w)
     out = jnp.minimum(out, F32_MAX)
     if metric == Distance.L2:
         out = jnp.where(out >= F32_MAX, F32_MAX, jnp.sqrt(out))
     return out
+
+
+def _use_banded_rows(w: int) -> bool:
+    """Gate for the Pallas banded row pass: TPU backend (or forced), canvas
+    aligned to its tiles."""
+    import os
+    flag = os.environ.get("OPENFDCM_TPU_BANDED", "auto")
+    if flag == "0":
+        return False
+    if w % 128 != 0 or w < 256:
+        return False
+    if flag == "1":
+        return True
+    import jax as _jax
+    return _jax.default_backend() == "tpu"
 
 
 def indicator_from_points(points: jax.Array, mask: jax.Array, height: int,
