@@ -55,7 +55,6 @@ TC_MAX = 24            # max covered steps per direction (tunable; beyond
                        # this the straggler walk continues — walks are short)
 NCH = 4                # max 8-row chunks per patch (steeper candidates get
                        # a smaller covered window instead of a taller patch)
-STATIC_CHUNKS = True   # unroll the chunk loop (all NCH chunks always run)
 PATCH_W = 256          # two 128-lane chunks
 IB = 256               # items per grid step (SMEM block)
 NF = 19                # f32 fields per item
@@ -152,49 +151,36 @@ def _kernel(fields_ref, dt3_ref, dt3t_ref, out_ref, slab, acc, state, sem,
             y0a1 = pl.multiple_of(fields_ref[it, F_Y0A1].astype(jnp.int32), 8)
             x0a1 = pl.multiple_of(
                 fields_ref[it, F_X0A1].astype(jnp.int32), 128)
-            nch0 = fields_ref[it, F_NCH0].astype(jnp.int32)
-            nch1 = fields_ref[it, F_NCH1].astype(jnp.int32)
 
             def probe_idx(ex, ey, x0a, y0a):
                 xi = (ex + trx_l).astype(jnp.int32)
                 yi = (ey + try_l).astype(jnp.int32)
                 li = jnp.clip(xi - x0a, 0, PATCH_W - 1)
                 dy = jnp.clip(yi - y0a, 0, NCH * 8 - 1)
-                return li & 127, li < 128, dy
+                # split row index into (chunk, sublane) once per endpoint
+                return li & 127, li < 128, dy >> 3, dy & 7
 
-            lim0, sel0, dy0 = probe_idx(fields_ref[it, F_E0X],
-                                        fields_ref[it, F_E0Y], x0a0, y0a0)
-            lim1, sel1, dy1 = probe_idx(fields_ref[it, F_E1X],
-                                        fields_ref[it, F_E1Y], x0a1, y0a1)
-
-            def one_chunk(k, y0a, x0a, lim, sel, dy, val):
-                ckl = slab[pl.ds(y0a + 8 * k, 8), pl.ds(x0a, 128)]
-                ckr = slab[pl.ds(y0a + 8 * k, 8), pl.ds(x0a + 128, 128)]
-                g = jnp.where(sel, jnp.take_along_axis(ckl, lim, axis=1),
-                              jnp.take_along_axis(ckr, lim, axis=1))
-                h = jnp.take_along_axis(g, jnp.clip(dy - 8 * k, 0, 7),
-                                        axis=0)
-                return jnp.where((dy >= 8 * k) & (dy < 8 * (k + 1)), h, val)
-
-            def chunk(k, carry):
-                v0, v1 = carry
-                v0 = jnp.where(k < nch0,
-                               one_chunk(k, y0a0, x0a0, lim0, sel0, dy0, v0),
-                               v0)
-                v1 = jnp.where(k < nch1,
-                               one_chunk(k, y0a1, x0a1, lim1, sel1, dy1, v1),
-                               v1)
-                return v0, v1
+            lim0, sel0, dc0, ds0 = probe_idx(fields_ref[it, F_E0X],
+                                             fields_ref[it, F_E0Y], x0a0, y0a0)
+            lim1, sel1, dc1, ds1 = probe_idx(fields_ref[it, F_E1X],
+                                             fields_ref[it, F_E1Y], x0a1, y0a1)
 
             zero = jnp.zeros((8, K_LANES), jnp.float32)
-            if STATIC_CHUNKS:
-                v0, v1 = zero, zero
+
+            def fetch(y0a, x0a, lim, sel, dc, dsub):
+                v = zero
                 for k in range(NCH):
-                    v0 = one_chunk(k, y0a0, x0a0, lim0, sel0, dy0, v0)
-                    v1 = one_chunk(k, y0a1, x0a1, lim1, sel1, dy1, v1)
-            else:
-                v0, v1 = jax.lax.fori_loop(0, jnp.maximum(nch0, nch1), chunk,
-                                           (zero, zero))
+                    ckl = slab[pl.ds(y0a + 8 * k, 8), pl.ds(x0a, 128)]
+                    ckr = slab[pl.ds(y0a + 8 * k, 8), pl.ds(x0a + 128, 128)]
+                    g = jnp.where(sel,
+                                  jnp.take_along_axis(ckl, lim, axis=1),
+                                  jnp.take_along_axis(ckr, lim, axis=1))
+                    h = jnp.take_along_axis(g, dsub, axis=0)
+                    v = jnp.where(dc == k, h, v)
+                return v
+
+            v0 = fetch(y0a0, x0a0, lim0, sel0, dc0, ds0)
+            v1 = fetch(y0a1, x0a1, lim1, sel1, dc1, ds1)
             d = jnp.abs(v1 - v0) * wt                     # (8, K) rows equal
             base = pl.multiple_of((slot // 8) * 8, 8)
             acc[pl.ds(base, 8), :] = acc[pl.ds(base, 8), :] + \
@@ -305,13 +291,16 @@ def build_fields(cand_lines, cand_mask, rast, valid, slice_idx, scene_tr,
         ya = (ey + (tr_y[..., None] + (-tcb) * vy[..., None])).astype(jnp.int32)
         yb = (ey + (tr_y[..., None] + tcb * vy[..., None])).astype(jnp.int32)
         xm = jnp.minimum(xa, xb) - 1
+        xmax = jnp.maximum(xa, xb) + 1
         ym = jnp.minimum(ya, yb) - 1
         ymax = jnp.maximum(ya, yb) + 1
         x0a = jnp.clip((xm // 128) * 128, 0, q - PATCH_W)
         y0a = jnp.clip((ym // 8) * 8, 0, q - NCH * 8)
         nch = jnp.clip((ymax - y0a) // 8 + 1, 1, NCH)
+        # pack: bit 3 = window needs the second 128-lane chunk
+        two = (xmax > x0a + 127).astype(jnp.int32)
         return (y0a.astype(jnp.float32), x0a.astype(jnp.float32),
-                nch.astype(jnp.float32))
+                (nch + 8 * two).astype(jnp.float32))
 
     y0a0, x0a0, nch0 = origin(e_maj[..., 0], e_min[..., 0])
     y0a1, x0a1, nch1 = origin(e_maj[..., 1], e_min[..., 1])
@@ -402,13 +391,16 @@ def build_fields_ext(cand_lines, cand_mask, vdir, active, slice_idx,
         ya = (ey + (tr_y[..., None] + t_lo * vy[..., None])).astype(jnp.int32)
         yb = (ey + (tr_y[..., None] + t_hi * vy[..., None])).astype(jnp.int32)
         xm = jnp.minimum(xa, xb) - 1
+        xmax = jnp.maximum(xa, xb) + 1
         ym = jnp.minimum(ya, yb) - 1
         ymax = jnp.maximum(ya, yb) + 1
         x0a = jnp.clip((xm // 128) * 128, 0, q - PATCH_W)
         y0a = jnp.clip((ym // 8) * 8, 0, q - NCH * 8)
         nch = jnp.clip((ymax - y0a) // 8 + 1, 1, NCH)
+        # pack: bit 3 = window needs the second 128-lane chunk
+        two = (xmax > x0a + 127).astype(jnp.int32)
         return (y0a.astype(jnp.float32), x0a.astype(jnp.float32),
-                nch.astype(jnp.float32))
+                (nch + 8 * two).astype(jnp.float32))
 
     y0a0, x0a0, nch0 = origin(e_maj[..., 0], e_min[..., 0])
     y0a1, x0a1, nch1 = origin(e_maj[..., 1], e_min[..., 1])
