@@ -51,8 +51,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 K_LANES = 128          # 64 positive steps (incl. m=0) + 64 negative steps
 K_POS = 64             # lane l < 64: m = +l
-TC_MAX = 24            # max covered steps per direction (tunable; beyond
-                       # this the straggler walk continues — walks are short)
+TC_MAX = 30            # max covered steps per direction (tunable; beyond
+                       # this the straggler walk continues — walks are short).
+                       # The y-budget already caps steep rays harder; 30 only
+                       # lifts shallow rays (3 full batches at batch=10).
 NCH = 4                # max 8-row chunks per patch (steeper candidates get
                        # a smaller covered window instead of a taller patch)
 PATCH_W = 256          # two 128-lane chunks
