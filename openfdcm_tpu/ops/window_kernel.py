@@ -285,13 +285,20 @@ def build_fields(cand_lines, cand_mask, rast, valid, slice_idx, scene_tr,
     # Patch origins per endpoint: monotone extremes of the covered window,
     # 1-unit margin for f32 rounding jitter between this evaluation and the
     # kernel's per-lane evaluation.
+    # Window-end translation offsets are candidate-level — compute once per
+    # candidate (23x fewer elements than per item), then only the endpoint
+    # add + truncation runs per item.
+    tx_lo = (trx + (-tc) * vx)[..., None]                 # (S, C, 1)
+    tx_hi = (trx + tc * vx)[..., None]
+    ty_lo = (tr_y + (-tc) * vy)[..., None]
+    ty_hi = (tr_y + tc * vy)[..., None]
+
     def origin(ex, ey):
-        # ex/ey: (S, C, L); broadcast candidate-level vx/vy/tr/tc
-        tcb = tc[..., None]
-        xa = (ex + (trx[..., None] + (-tcb) * vx[..., None])).astype(jnp.int32)
-        xb = (ex + (trx[..., None] + tcb * vx[..., None])).astype(jnp.int32)
-        ya = (ey + (tr_y[..., None] + (-tcb) * vy[..., None])).astype(jnp.int32)
-        yb = (ey + (tr_y[..., None] + tcb * vy[..., None])).astype(jnp.int32)
+        # ex/ey: (S, C, L)
+        xa = (ex + tx_lo).astype(jnp.int32)
+        xb = (ex + tx_hi).astype(jnp.int32)
+        ya = (ey + ty_lo).astype(jnp.int32)
+        yb = (ey + ty_hi).astype(jnp.int32)
         xm = jnp.minimum(xa, xb) - 1
         xmax = jnp.maximum(xa, xb) + 1
         ym = jnp.minimum(ya, yb) - 1
