@@ -170,10 +170,13 @@ def _kernel(fields_ref, dt3_ref, dt3t_ref, out_ref, slab, acc, state, sem,
             zero = jnp.zeros((8, K_LANES), jnp.float32)
 
             def fetch(y0a, x0a, lim, sel, dc, dsub):
+                # one tall load per lane-half; chunks are register slices
+                p_l = slab[pl.ds(y0a, NCH * 8), pl.ds(x0a, 128)]
+                p_r = slab[pl.ds(y0a, NCH * 8), pl.ds(x0a + 128, 128)]
                 v = zero
                 for k in range(NCH):
-                    ckl = slab[pl.ds(y0a + 8 * k, 8), pl.ds(x0a, 128)]
-                    ckr = slab[pl.ds(y0a + 8 * k, 8), pl.ds(x0a + 128, 128)]
+                    ckl = p_l[8 * k:8 * (k + 1)]
+                    ckr = p_r[8 * k:8 * (k + 1)]
                     g = jnp.where(sel,
                                   jnp.take_along_axis(ckl, lim, axis=1),
                                   jnp.take_along_axis(ckr, lim, axis=1))
