@@ -22,7 +22,7 @@ ASSETS = "/root/reference/notebooks/assets"
 
 def main():
     import openfdcm_tpu as of
-    of.enable_compilation_cache()
+    of.enable_compilation_cache("/root/repo/.jax_cache")
 
     obj = "obj_01"
     templates = [of.read(p) for p in sorted(glob.glob(f"{ASSETS}/{obj}/templates/*.tmpl"))]

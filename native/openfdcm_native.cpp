@@ -116,8 +116,16 @@ std::string parse_lines(const unsigned char* data, size_t size,
     const unsigned char flag = data[22];
     const uint64_t usz = get_le<uint64_t>(data + 23);
     const uint64_t csz = get_le<uint64_t>(data + 31);
-    if (size < kEnvelopeSize + csz)
+    // Overflow-safe: size >= kEnvelopeSize was checked above, so compare
+    // csz against the remaining bytes instead of forming kEnvelopeSize+csz
+    // (which wraps for crafted csz near 2^64).
+    if (csz > size - kEnvelopeSize)
         throw std::runtime_error("corrupt line file (truncated)");
+    // Cap the declared uncompressed size before allocating: a legitimate
+    // line file body is kHeaderSize + n*record bytes; 1 GiB covers ~64M
+    // lines and keeps a crafted usz from triggering a giant allocation.
+    if (usz > (1ull << 30))
+        throw std::runtime_error("corrupt line file (unreasonable size)");
     std::string body;
     if (flag) {
         body.resize(usz);
@@ -307,7 +315,7 @@ PyObject* py_default_search_pairs(PyObject*, PyObject* args) {
     const long ns = sbuf.len / 4;
 
     std::vector<int32_t> out;
-    {
+    try {
         std::vector<long> order_t(nt), order_s(ns);
         std::iota(order_t.begin(), order_t.end(), 0);
         std::iota(order_s.begin(), order_s.end(), 0);
@@ -343,6 +351,16 @@ PyObject* py_default_search_pairs(PyObject*, PyObject* args) {
                 out.push_back(static_cast<int32_t>(order_s[i]));
             }
         }
+    } catch (const std::bad_alloc&) {
+        PyBuffer_Release(&tbuf);
+        PyBuffer_Release(&sbuf);
+        PyErr_SetString(PyExc_MemoryError, "default_search_pairs: allocation failed");
+        return nullptr;
+    } catch (const std::exception& e) {
+        PyBuffer_Release(&tbuf);
+        PyBuffer_Release(&sbuf);
+        PyErr_SetString(PyExc_ValueError, e.what());
+        return nullptr;
     }
     PyBuffer_Release(&tbuf);
     PyBuffer_Release(&sbuf);

@@ -56,10 +56,19 @@ __all__ = [
 ]
 
 
-def enable_compilation_cache(path: str = "/root/repo/.jax_cache",
+def enable_compilation_cache(path: str | None = None,
                              min_compile_secs: float = 0.5) -> None:
     """Enable JAX's persistent compilation cache (huge win on
-    remote-attached TPUs where each XLA compile pays tunnel latency)."""
+    remote-attached TPUs where each XLA compile pays tunnel latency).
+
+    ``path`` defaults to ``$OPENFDCM_TPU_CACHE`` if set, else a per-user
+    cache directory (``~/.cache/openfdcm_tpu/jax_cache``).
+    """
+    import os
     import jax
+    if path is None:
+        path = os.environ.get("OPENFDCM_TPU_CACHE") or os.path.join(
+            os.environ.get("XDG_CACHE_HOME")
+            or os.path.expanduser("~/.cache"), "openfdcm_tpu", "jax_cache")
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)

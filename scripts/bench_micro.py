@@ -76,7 +76,7 @@ def bench_pose(objs, label):
 
 
 def main():
-    of.enable_compilation_cache()
+    of.enable_compilation_cache("/root/repo/.jax_cache")
     out = [bench_dt3_1080p(),
            bench_pose(["obj_01"], "bank114"),
            bench_pose(["obj_01", "obj_02", "obj_03", "obj_04"], "bank421")]

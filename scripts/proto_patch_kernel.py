@@ -17,7 +17,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 import openfdcm_tpu as of
 
-of.enable_compilation_cache()
+of.enable_compilation_cache("/root/repo/.jax_cache")
 
 D, PH, PW = 30, 512, 576          # PW has a 64-col slack margin
 C, L, K = 1024, 24, 16            # candidates x lines x window

@@ -24,7 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 sys.path.insert(0, "/root/repo")
 import openfdcm_tpu as of
 
-of.enable_compilation_cache()
+of.enable_compilation_cache("/root/repo/.jax_cache")
 
 ITERS = 2048
 

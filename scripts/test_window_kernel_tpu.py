@@ -19,7 +19,7 @@ from openfdcm_tpu.matching import featuremap as fm
 from openfdcm_tpu.ops import window_kernel as wk
 from openfdcm_tpu.core import rasterize as ras
 
-of.enable_compilation_cache()
+of.enable_compilation_cache("/root/repo/.jax_cache")
 
 
 def make_case(rng, s=2, c=64, l=8, d=30, q=256):
