@@ -476,18 +476,33 @@ def evaluate_batched(dt3_flat: jax.Array, hw: tuple, slice_idx: jax.Array,
 def evaluate(featuremap: Dt3Featuremap, templates, translations):
     """Reference-shaped entry: list of templates, list of per-template
     translation lists -> list of per-template score lists.
-    (``featuremap.h:159`` / ``dt3cpu.cpp:126-179``.)"""
-    out = []
+    (``featuremap.h:159`` / ``dt3cpu.cpp:126-179``.)
+
+    All templates are padded to a shared (line, translation) bucket and
+    scored in ONE device dispatch — the per-template loop the reference
+    runs would pay a device round trip per template here."""
+    if not templates:
+        return []
     d, ph, pw = featuremap.dt3.shape
     flat = featuremap.dt3.reshape(-1)
-    for tmpl, trs in zip(templates, translations):
-        t = geo.as_lines(tmpl)
-        theta = geo.get_angle(t)
-        o = closest_orientation_idx(featuremap.angles, theta)
-        # endpoints order: [p1, p2] along axis -2; score uses |v(p1)-v(p2)|.
-        eps = t.reshape(t.shape[0], 2, 2)
-        tr = jnp.asarray(np.asarray(trs, np.float32).reshape(-1, 2)) + featuremap.scene_translation
-        scores = evaluate_batched(flat, (ph, pw), o, eps,
-                                  jnp.ones(t.shape[0], jnp.float32), tr)
-        out.append([float(s) for s in np.asarray(scores)])
-    return out
+    tmpls = [geo.as_lines_np(t) for t in templates]
+    trs_np = [np.asarray(t, np.float32).reshape(-1, 2) for t in translations]
+    n = len(tmpls)
+    lmax = -(-max(max((t.shape[0] for t in tmpls), default=1), 1) // 4) * 4
+    kmax = -(-max(max((t.shape[0] for t in trs_np), default=1), 1) // 4) * 4
+    lines = np.zeros((n, lmax, 4), np.float32)
+    mask = np.zeros((n, lmax), np.float32)
+    trs = np.zeros((n, kmax, 2), np.float32)
+    for i, (t, tr) in enumerate(zip(tmpls, trs_np)):
+        lines[i, : t.shape[0]] = t
+        mask[i, : t.shape[0]] = 1.0
+        trs[i, : tr.shape[0]] = tr
+    lines_d = jnp.asarray(lines)
+    theta = geo.get_angle(lines_d)                        # (n, lmax)
+    o = closest_orientation_idx(featuremap.angles, theta)
+    eps = lines_d.reshape(n, lmax, 2, 2)
+    tr_d = jnp.asarray(trs) + featuremap.scene_translation
+    scores = np.asarray(evaluate_batched(flat, (ph, pw), o, eps,
+                                         jnp.asarray(mask), tr_d))
+    return [[float(s) for s in scores[i, : trs_np[i].shape[0]]]
+            for i in range(n)]

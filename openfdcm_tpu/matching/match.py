@@ -42,11 +42,18 @@ class DefaultMatch:
 
 def sort_matches(matches, max_num_candidates: int | None = None):
     """Sort matches ascending by score (best first).
-    Reference ``matchstrategy.h:48-55``."""
-    if max_num_candidates is None:
+
+    Reference ``matchstrategy.h:48-55``: with ``max_num_candidates`` the
+    reference partial-sorts — the best k lead in order, the tail stays in
+    unspecified order.  Mirrored here with an O(n) selection instead of a
+    full sort (matters for 10k+ template banks)."""
+    if max_num_candidates is None or max_num_candidates >= len(matches):
         return sorted(matches, key=lambda m: m.score)
-    s = sorted(matches, key=lambda m: m.score)
-    return s  # partial sort is an optimization detail; full sort is a superset
+    k = max(int(max_num_candidates), 0)
+    scores = np.asarray([m.score for m in matches], np.float64)
+    part = np.argpartition(scores, k)
+    head = part[:k][np.argsort(scores[part[:k]], kind="stable")]
+    return [matches[i] for i in head] + [matches[i] for i in part[k:]]
 
 
 def _bucket(n: int, quantum: int = 64) -> int:
@@ -210,6 +217,76 @@ def _search_device_batch_topk(tmpl_lines, tmpl_mask, pair_t, pair_tl, pair_sl,
             idx, take(valid, idx))
 
 
+def _search_device_batch_topk_sharded(mesh, tmpl_lines, tmpl_mask, pair_t,
+                                      pair_tl, pair_sl, scenes, dt3_flat,
+                                      angles, scene_tr, feature_size, lengths,
+                                      tau, pair_valid, *, lmax, hw, mode,
+                                      window, dense_steps, k,
+                                      use_kernel=False, items_cap=None,
+                                      scene_axis="scene", cand_axis="cand"):
+    """Mesh-sharded search + device-side penalize + per-scene top-k.
+
+    Scenes shard along ``scene_axis``; the pair axis optionally shards along
+    ``cand_axis``.  Each device reduces its local candidates to a top-k, and
+    (when candidates span devices) an ``all_gather`` over ``cand_axis`` plus
+    a deterministic (score, global-index) re-rank yields the global per-scene
+    top-k — the integrated form of :func:`openfdcm_tpu.parallel.global_topk`.
+    Only ``(S, k)``-sized results ever leave the device mesh.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    n_cand = mesh.shape.get(cand_axis, 1) if cand_axis in mesh.axis_names else 1
+    c_total = 2 * pair_t.shape[1]
+    kk = min(k, c_total // max(n_cand, 1))
+
+    def local(pt, ptl, psl, sc, dt, tr, fs, pv):
+        scores, mats, valid = _search_device_batch(
+            tmpl_lines, tmpl_mask, pt, ptl, psl, sc, dt, angles, tr, fs,
+            lmax=lmax, hw=hw, mode=mode, window=window,
+            dense_steps=dense_steps, use_kernel=use_kernel,
+            items_cap=items_cap)
+        tmpl_of_cand = jnp.repeat(pt, 2, axis=1)
+        pen = jnp.where(jnp.isnan(tau), 1.0,
+                        jnp.power(jnp.maximum(lengths[tmpl_of_cand], 1e-6),
+                                  tau))
+        pscores = scores / pen
+        masked = jnp.where(valid & jnp.repeat(pv, 2, axis=1), pscores,
+                           jnp.inf)
+        c_local = masked.shape[1]
+        neg_top, idx = jax.lax.top_k(-masked, kk)     # ties -> lowest idx
+        mats_k = jnp.take_along_axis(mats, idx[..., None, None], axis=1)
+        valid_k = jnp.take_along_axis(valid, idx, axis=1)
+        if n_cand == 1:
+            return -neg_top, mats_k, idx, valid_k
+        shard = jax.lax.axis_index(cand_axis)
+        gidx = idx + shard * c_local
+        av = jax.lax.all_gather(-neg_top, cand_axis, axis=1)   # (S, nc, kk)
+        ai = jax.lax.all_gather(gidx, cand_axis, axis=1)
+        am = jax.lax.all_gather(mats_k, cand_axis, axis=1)
+        avl = jax.lax.all_gather(valid_k, cand_axis, axis=1)
+        s_loc = av.shape[0]
+        fv = av.reshape(s_loc, -1)
+        fi = ai.reshape(s_loc, -1)
+        order = jnp.lexsort((fi, fv))[:, :kk]
+        return (jnp.take_along_axis(fv, order, axis=1),
+                jnp.take_along_axis(am.reshape(s_loc, -1, 2, 3),
+                                    order[..., None, None], axis=1),
+                jnp.take_along_axis(fi, order, axis=1),
+                jnp.take_along_axis(avl.reshape(s_loc, -1), order, axis=1))
+
+    sa = scene_axis
+    pair_spec = P(sa, cand_axis) if n_cand > 1 else P(sa)
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(pair_spec, pair_spec, pair_spec, P(sa), P(sa), P(sa),
+                  P(sa), pair_spec),
+        out_specs=(P(sa),) * 4,
+        check_vma=False)
+    return jax.jit(fn)(pair_t, pair_tl, pair_sl, scenes, dt3_flat,
+                       scene_tr, feature_size, pair_valid)
+
+
 def _search_device_batch_sharded(mesh, tmpl_lines, tmpl_mask, pair_t, pair_tl,
                                  pair_sl, scenes, dt3_flat, angles, scene_tr,
                                  feature_size, *, lmax, hw, mode, window,
@@ -281,7 +358,7 @@ def search(matcher, searcher, optimizer, featuremap: fm.Dt3Featuremap,
 
     mode, window = opt.optimizer_mode(optimizer)
     w, h = featuremap.feature_size
-    dense_steps = (-(-max(w, h) // 64) * 64) if mode == "dense" else 1
+    dense_steps = opt.dense_step_count(optimizer, max(w, h))
     d, ph, pw = featuremap.dt3.shape
     feature_size = jnp.asarray([float(w), float(h)], jnp.float32)
     c = 2 * pb

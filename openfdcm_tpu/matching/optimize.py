@@ -396,6 +396,19 @@ def optimizer_mode(optimizer) -> tuple[str, int]:
     raise TypeError(f"unknown optimizer {optimizer!r}")
 
 
+def dense_step_count(optimizer, max_wh: int) -> int:
+    """Step count per direction for the dense optimizer: the canvas extent
+    (every legal translation), or ``DenseOptimize.max_steps`` when the user
+    bounds the sweep; bucketed to 64 for jit-cache reuse."""
+    mode, _ = optimizer_mode(optimizer)
+    if mode != "dense":
+        return 1
+    steps = int(max_wh)
+    if getattr(optimizer, "max_steps", None) is not None:
+        steps = min(steps, int(optimizer.max_steps))
+    return -(-max(steps, 1) // 64) * 64
+
+
 def optimize(optimizer, templates, alignments, featuremap: fm.Dt3Featuremap):
     """Reference-shaped entry (``optimizestrategy.h:132``): list of aligned
     templates + alignment vectors -> list of ``None | (score, translation)``."""
@@ -419,7 +432,7 @@ def optimize(optimizer, templates, alignments, featuremap: fm.Dt3Featuremap):
 
     mode, window = optimizer_mode(optimizer)
     w, h = featuremap.feature_size
-    dense_steps = (-(-max(w, h) // 64) * 64) if mode == "dense" else 1
+    dense_steps = dense_step_count(optimizer, max(w, h))
     d, ph, pw = featuremap.dt3.shape
     scores, trans, valid = optimize_candidates(
         featuremap.dt3.reshape(-1), featuremap.angles, featuremap.scene_translation,

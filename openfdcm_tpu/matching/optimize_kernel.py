@@ -144,11 +144,13 @@ def _straggler(state, sign, t_lim, chain_cov, walk, eval_at, window, m,
 # Entry
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("mode", "window", "items_cap"))
+@partial(jax.jit, static_argnames=("mode", "window", "items_cap",
+                                   "skip_straggler"))
 def optimize_candidates_batch_kernel(dt3, angles, scene_tr, feature_size,
                                      cand_lines, cand_mask, cand_align, *,
                                      mode: str, window: int,
-                                     items_cap: int | None = None):
+                                     items_cap: int | None = None,
+                                     skip_straggler: bool = False):
     """Scene-batched optimize using the Pallas window kernel.
 
     ``dt3``: ``(S, D, Q, Q)``; ``cand_lines``: ``(S, C, L, 4)``;
@@ -231,16 +233,18 @@ def optimize_candidates_batch_kernel(dt3, angles, scene_tr, feature_size,
     # positive direction
     state = (s0, s0, jnp.zeros(m, jnp.float32), t_pos < 1, ones)
     state = chain_cov(pos_scores, t_pos, tc_f, state, 1.0)
-    state = _straggler(state, 1.0, t_pos, chain_cov, walk, eval_at, w, m,
-                       ext_eval)
+    if not skip_straggler:
+        state = _straggler(state, 1.0, t_pos, chain_cov, walk, eval_at, w, m,
+                           ext_eval)
     prev, best, mul, _, _ = state
 
     # negative direction
     neg_prev0 = s0 if mode == "indulgent" else prev
     nstate = (neg_prev0, best, mul, t_neg < 1, ones)
     nstate = chain_cov(neg_scores, t_neg, tc_f, nstate, -1.0)
-    nstate = _straggler(nstate, -1.0, t_neg, chain_cov, walk, eval_at, w, m,
-                        ext_eval)
+    if not skip_straggler:
+        nstate = _straggler(nstate, -1.0, t_neg, chain_cov, walk, eval_at, w,
+                            m, ext_eval)
     _, best, mul, _, _ = nstate
 
     translation = (mul[:, None] * safe_rast).reshape(s, c, 2)

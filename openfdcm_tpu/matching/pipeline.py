@@ -26,7 +26,7 @@ from . import featuremap as fm
 from . import optimize as opt
 from .match import Match, TemplateBank, prepare_templates, _bucket, \
     _search_device_batch, _search_device_batch_sharded, \
-    _search_device_batch_topk
+    _search_device_batch_topk, _search_device_batch_topk_sharded
 from .search import establish_search_strategy, bank_pairs, DefaultSearch, \
     ConcentricRangeStrategy
 
@@ -189,9 +189,11 @@ def match_many(scenes, templates, params: fm.Dt3Params, searcher, optimizer,
         scene_chunk = scene_chunk * n_dp
 
     # Device-side penalize + top-k when the penalty has the reference's
-    # power form (or is absent): only the k best rows come back per scene.
+    # power form (or is absent): only the k best rows come back per scene
+    # (under a mesh: per-device local top-k + all_gather re-rank, so full
+    # candidate arrays never reach the host).
     post = None
-    if top_k is not None and mesh is None:
+    if top_k is not None:
         from .penalty import DefaultPenalty, ExponentialPenalty
         if penalty is None:
             post = (jnp.ones(max(len(bank.host), 1), jnp.float32),
@@ -328,7 +330,7 @@ def _search_chunk_dispatch(searcher, optimizer, featuremaps, templates, scenes,
     ph, pw = featuremaps.dt3.shape[2], featuremaps.dt3.shape[3]
     fs = np.asarray([[float(w), float(h)] for (w, h) in featuremaps.feature_sizes],
                     np.float32)
-    dense_steps = (-(-int(fs.max()) // 64) * 64) if mode == "dense" else 1
+    dense_steps = opt.dense_step_count(optimizer, int(fs.max()))
 
     # Kernel path: the Pallas window kernel skips masked lines at ~zero
     # cost, so lmax bucketing only fragments dispatches there.
@@ -365,7 +367,10 @@ def _search_chunk_dispatch(searcher, optimizer, featuremaps, templates, scenes,
             continue
         for lo in range(0, p_lv, max_pairs):
             sel = [s[lo: lo + max_pairs] for s in sel_full]
-            pb = _bucket(max(len(s) for s in sel))
+            pair_quantum = 64
+            if mesh is not None and "cand" in mesh.axis_names:
+                pair_quantum = int(np.lcm(64, mesh.shape.get("cand", 1)))
+            pb = _bucket(max(len(s) for s in sel), pair_quantum)
             pair_arr = np.zeros((s_count, pb, 3), np.int32)
             for i, (p, s) in enumerate(zip(per_scene_pairs, sel)):
                 pair_arr[i, : len(s)] = p[s]
@@ -394,6 +399,16 @@ def _search_chunk_dispatch(searcher, optimizer, featuremaps, templates, scenes,
                     cap_dev = int(per_scene.reshape(-1, k_sh).sum(axis=1).max())
                     kwargs["items_cap"] = -(-cap_dev // 4096) * 4096
                     kwargs["use_kernel"] = True
+                if post is not None:
+                    lengths_dev, tau, k = post
+                    pv = np.zeros((s_count, pb), bool)
+                    for i, s in enumerate(sel):
+                        pv[i, : len(s)] = True
+                    sk, mk, ik, vk = _search_device_batch_topk_sharded(
+                        mesh, *args, lengths_dev, tau, jnp.asarray(pv),
+                        k=min(k, 2 * pb), **kwargs)
+                    parts.append((sel, (sk, mk, ik, vk)))
+                    continue
                 scores, mats, valid = _search_device_batch_sharded(
                     mesh, *args, **kwargs)
                 parts.append((sel, scores, mats, valid))
@@ -412,7 +427,7 @@ def _search_chunk_dispatch(searcher, optimizer, featuremaps, templates, scenes,
                     *args, use_kernel=use_kernel, **kwargs)
                 parts.append((sel, scores, mats, valid))
 
-    mode_tag = "topk" if (post is not None and mesh is None) else "full"
+    mode_tag = "topk" if post is not None else "full"
     return per_scene_pairs, parts, mode_tag, None
 
 
