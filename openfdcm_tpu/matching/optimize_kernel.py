@@ -28,6 +28,11 @@ from . import optimize as opt
 
 _BIG = opt._BIG
 
+# Window-kernel generation: 3 = sublane-first identity-mapped gathers
+# (~10 shuffle ops/item), 2 = the round-1 patch-gather kernel.
+import os as _os
+KERNEL_VERSION = int(_os.environ.get("OPENFDCM_TPU_KERNEL_VERSION", "3"))
+
 
 # ---------------------------------------------------------------------------
 # Coverage-aware chain decisions on precomputed windows
@@ -173,12 +178,20 @@ def optimize_candidates_batch_kernel(dt3, angles, scene_tr, feature_size,
     theta = geo.get_angle(cand_lines)                     # (S, C, L)
     slice_idx = fm.closest_orientation_idx(angles, theta)
 
-    fields, tc = wk.build_fields(cand_lines, cand_mask, rast, valid,
-                                 slice_idx, scene_tr, depth=d, q=q,
-                                 cap=items_cap)
-    dt3t = jnp.swapaxes(dt3, -1, -2)
-    win = wk.window_scores_device(dt3, dt3t, fields, s_dim=s, c_dim=c,
-                                  depth=d, q=q)
+    if KERNEL_VERSION == 3:
+        fields, tc = wk.build_fields_v3(cand_lines, cand_mask, rast, valid,
+                                        slice_idx, scene_tr, depth=d, q=q,
+                                        cap=items_cap)
+        banks = wk.prep_dt3_banks(dt3)
+        win = wk.window_scores_device_v3(banks, fields, s_dim=s, c_dim=c,
+                                         depth=d, q=q)
+    else:
+        fields, tc = wk.build_fields(cand_lines, cand_mask, rast, valid,
+                                     slice_idx, scene_tr, depth=d, q=q,
+                                     cap=items_cap)
+        dt3t = jnp.swapaxes(dt3, -1, -2)
+        win = wk.window_scores_device(dt3, dt3t, fields, s_dim=s, c_dim=c,
+                                      depth=d, q=q)
 
     # --- flatten to one candidate axis ---------------------------------
     lmf = cand_mask.reshape(m, l).astype(jnp.float32)
@@ -226,6 +239,10 @@ def optimize_candidates_batch_kernel(dt3, angles, scene_tr, feature_size,
 
     def ext_eval(sel, active, sign, t0):
         vdir = jnp.float32(sign) * rast_f[sel]
+        if KERNEL_VERSION == 3:
+            return wk.window_scores_ext_v3(
+                banks, cl_flat[sel], cm_flat[sel], vdir, active,
+                si_raw[sel], scene_of[sel], scene_tr, t0)
         return wk.window_scores_ext(
             dt3, dt3t, cl_flat[sel], cm_flat[sel], vdir, active,
             si_raw[sel], scene_of[sel], scene_tr, t0)
@@ -259,7 +276,7 @@ def kernel_supported(dt3_shape, mode: str, mesh=None) -> bool:
         return False
     if len(dt3_shape) != 4 or dt3_shape[-1] != dt3_shape[-2]:
         return False
-    if dt3_shape[-1] < wk.PATCH_W:
+    if dt3_shape[-1] < wk.PATCH_W or dt3_shape[-1] % 128:
         return False
     if mode not in ("default", "indulgent", "batch"):
         return False

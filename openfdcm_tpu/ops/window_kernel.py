@@ -237,6 +237,414 @@ def window_scores_device(dt3, dt3t, fields, *, s_dim, c_dim, depth, q,
     )(fields, dt3, dt3t)
 
 
+# ---------------------------------------------------------------------------
+# Kernel v3: sublane-first gathers on identity lane mapping
+# ---------------------------------------------------------------------------
+#
+# The rasterized major-axis step is EXACTLY +-1.0, so when the probe base
+# ``f = endpoint + scene_tr`` is combined with integer steps the probe column
+# is ``trunc(f) + m`` for (almost) every step m.  That makes the per-column
+# step index ``m(c) = s * (c - c0)`` a pure function of the column, uniform
+# across sublanes, which inverts the gather order of the v2 kernel:
+#
+#   1. per 8-row chunk, ONE sublane gather picks each column's needed row
+#      (``dy(c)`` is uniform across sublanes), chunk-selected by a compare;
+#   2. ONE final lane gather maps columns to step lanes via the identity
+#      ``li(l) = c0 - x0a + s * m(l)``.
+#
+# 5 shuffle-port ops per endpoint instead of 12, and one 8x128 vreg load per
+# chunk instead of a 256-wide patch.  A rolled-by-64 copy of each slice
+# (``dt3r``) makes every <=63-column window fit ONE 128-lane-aligned chunk:
+# a window crossing a 128 boundary of the plain slice cannot also cross a
+# boundary of the 64-rolled one.
+#
+# The identity ``trunc(f + (tr + m*vx)) == trunc(f + tr) + s*m`` can fail for
+# rare f32 values where the reference's two-rounding order
+# (``dt3cpu.cpp:151-165``: ``tr + m*rast`` then ``point + tr``) crosses an
+# integer boundary.  ``build_fields_v3`` detects those items exactly
+# (vectorized, on the XLA side) and zeroes their candidate's coverage, so the
+# straggler walk recomputes the whole candidate on the bit-exact XLA gather
+# path.  Measured incidence is ~1e-4 of items.
+
+NF3 = 13               # f32 fields per item (v3 layout)
+G_SID, G_SLOT, G_WT, G_TC = 0, 1, 2, 3
+G_E0M, G_E0N, G_E1M, G_E1N = 4, 5, 6, 7
+G_VX, G_VY, G_TRM, G_TRN = 8, 9, 10, 11
+G_T0 = 12
+Y_BUDGET3 = 11.5       # two-sided tc budget: rows <= 2*11.5+2+7 = 32 = NCH*8
+Y_BUDGET3_EXT = 23.0   # one-sided cover budget: rows <= 23+2+7 = 32
+
+
+def _kernel_v3(fields_ref, dt3_ref, dt3r_ref, dt3t_ref, dt3tr_ref, out_ref,
+               slab, acc, state, sem, *, s_dim, c_dim, depth, q,
+               two_sided=True, single_flush=False):
+    """v3 kernel body.  ``slab`` is ``(2q, q)``: rows [0, q) hold the plain
+    slice, rows [q, 2q) the 64-rolled copy."""
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (8, K_LANES), 1)
+    m_pat = jnp.where(lane_i < K_POS, lane_i, -(lane_i - (K_POS - 1)))
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, K_LANES), 0)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        acc[...] = jnp.zeros((c_dim, K_LANES), jnp.float32)
+        state[0] = -1
+        state[1] = -1
+
+    def flush(b):
+        cp = pltpu.make_async_copy(acc, out_ref.at[b], sem)
+        cp.start()
+        cp.wait()
+        acc[...] = jnp.zeros((c_dim, K_LANES), jnp.float32)
+
+    def load_slice(sid):
+        d = jax.lax.rem(sid, depth)
+        bt = jax.lax.div(sid, depth)
+        b = jax.lax.div(bt, 2)
+        is_t = jax.lax.rem(bt, 2)
+
+        def both(plain, rolled):
+            c1 = pltpu.make_async_copy(plain.at[b, d], slab.at[pl.ds(0, q)],
+                                       sem)
+            c1.start()
+            c1.wait()
+            c2 = pltpu.make_async_copy(rolled.at[b, d], slab.at[pl.ds(q, q)],
+                                       sem)
+            c2.start()
+            c2.wait()
+
+        @pl.when(is_t == 0)
+        def _():
+            both(dt3_ref, dt3r_ref)
+
+        @pl.when(is_t == 1)
+        def _():
+            both(dt3t_ref, dt3tr_ref)
+
+    def body(it, _):
+        sid = fields_ref[it, G_SID].astype(jnp.int32)
+
+        @pl.when(sid != state[0])
+        def _():
+            b = jax.lax.div(sid, 2 * depth)
+
+            if not single_flush:
+                @pl.when((state[1] >= 0) & (b != state[1])
+                         & (state[1] < s_dim))
+                def _():
+                    flush(state[1])
+
+            @pl.when(b < s_dim)
+            def _():
+                load_slice(sid)
+            state[0] = sid
+            state[1] = b
+
+        wt = fields_ref[it, G_WT]
+
+        @pl.when(wt > 0.0)
+        def _():
+            slot = fields_ref[it, G_SLOT].astype(jnp.int32)
+            tc_i = fields_ref[it, G_TC].astype(jnp.int32)
+            t0_i = fields_ref[it, G_T0].astype(jnp.int32)
+            vx = fields_ref[it, G_VX]
+            vy = fields_ref[it, G_VY]
+            trm = fields_ref[it, G_TRM]
+            trn = fields_ref[it, G_TRN]
+            s_i = jnp.where(vx < 0, -1, 1)
+            m_lo = t0_i - (tc_i if two_sided else 0)
+            m_hi = t0_i + tc_i
+
+            def endpoint(em, en):
+                base = em + trm
+                c0 = base.astype(jnp.int32)
+                xa = c0 + s_i * m_lo
+                xb = c0 + s_i * m_hi
+                xm = jnp.clip(jnp.minimum(xa, xb), 0, q - 1)
+                x_hi = jnp.clip(jnp.maximum(xa, xb), 0, q - 1)
+                crossing = (xm // 128) != (x_hi // 128)
+                ls = jnp.where(crossing, ((xm - 64) // 128) * 128,
+                               (xm // 128) * 128)
+                ls = jnp.clip(ls, 0, q - 128)
+                x0a = ls + jnp.where(crossing, 64, 0)
+                # y window ends (monotone in m -> exact, no margin)
+                ya = (en + (trn + m_lo.astype(jnp.float32) * vy)) \
+                    .astype(jnp.int32)
+                yb = (en + (trn + m_hi.astype(jnp.float32) * vy)) \
+                    .astype(jnp.int32)
+                ym = jnp.clip(jnp.minimum(ya, yb), 0, q - 1)
+                y0a = jnp.clip((ym // 8) * 8, 0, q - NCH * 8)
+                row0 = jnp.where(crossing, q, 0) + y0a
+                lanestart = pl.multiple_of(ls, 128)
+
+                off = x0a - c0
+                m_col = s_i * (off + lane_i)               # step at column
+                ycol = (en + (trn + m_col.astype(jnp.float32) * vy)) \
+                    .astype(jnp.int32)
+                dy = jnp.clip(ycol - y0a, 0, NCH * 8 - 1)
+                dc = dy >> 3
+                ds = dy & 7
+                v = jnp.zeros((8, K_LANES), jnp.float32)
+                for k in range(NCH):
+                    ck = slab[pl.ds(pl.multiple_of(row0 + 8 * k, 8), 8),
+                              pl.ds(lanestart, 128)]
+                    h = jnp.take_along_axis(ck, ds, axis=0)
+                    v = jnp.where(dc == k, h, v)
+                li = jnp.clip(-off + s_i * (m_pat + t0_i), 0, 127)
+                return jnp.take_along_axis(v, li, axis=1)
+
+            v0 = endpoint(fields_ref[it, G_E0M], fields_ref[it, G_E0N])
+            v1 = endpoint(fields_ref[it, G_E1M], fields_ref[it, G_E1N])
+            d = jnp.abs(v1 - v0) * wt
+            base_s = pl.multiple_of((slot // 8) * 8, 8)
+            acc[pl.ds(base_s, 8), :] = acc[pl.ds(base_s, 8), :] + \
+                jnp.where(row8 == (slot % 8), d, 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, IB, body, 0)
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _():
+        if single_flush:
+            flush(0)
+        else:
+            @pl.when((state[1] >= 0) & (state[1] < s_dim))
+            def _():
+                flush(state[1])
+
+
+def prep_dt3_banks(dt3):
+    """Per-dispatch HBM banks for the v3 kernel: the DT3 stack, its
+    64-rolled copy, the transposed stack, and the rolled transpose."""
+    dt3r = jnp.roll(dt3, -64, axis=-1)
+    dt3t = jnp.swapaxes(dt3, -1, -2)
+    dt3tr = jnp.roll(dt3t, -64, axis=-1)
+    return dt3, dt3r, dt3t, dt3tr
+
+
+def window_scores_device_v3(banks, fields, *, s_dim, c_dim, depth, q,
+                            two_sided=True, single_flush=False):
+    """Run the v3 kernel.  ``banks``: the 4-tuple from
+    :func:`prep_dt3_banks`; ``fields``: ``(N, NF3)`` f32 sorted by sid."""
+    n = fields.shape[0]
+    out_s = 1 if single_flush else s_dim
+    return pl.pallas_call(
+        partial(_kernel_v3, s_dim=s_dim, c_dim=c_dim, depth=depth, q=q,
+                two_sided=two_sided, single_flush=single_flush),
+        grid=(n // IB,),
+        in_specs=[pl.BlockSpec((IB, NF3), lambda i: (i, 0),
+                               memory_space=pltpu.SMEM)] +
+                 [pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((out_s, c_dim, K_LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2 * q, q), jnp.float32),
+            pltpu.VMEM((c_dim, K_LANES), jnp.float32),
+            pltpu.SMEM((4,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1.25 * 4 * (2 * q * q + c_dim * K_LANES))
+            + 4 * 1024 * 1024,
+        ),
+        interpret=INTERPRET,
+    )(fields, *banks)
+
+
+def _identity_deviance(e_maj, trx, vx, tc, t0=None, span=None):
+    """Items whose reference-order probe columns deviate from the identity
+    mapping ``trunc(e + tr) + s*m`` anywhere in the covered window.
+
+    ``e_maj``: ``(..., L, E)`` endpoint major coords; ``trx``/``vx``/``tc``:
+    ``(...,)`` candidate-level; ``t0``: optional ``(...,)`` resume step
+    (one-sided window ``[t0, t0+tc]``; default two-sided ``[-tc, tc]``).
+    Returns a boolean deviance mask of shape ``(..., L)``.
+    """
+    w = span if span is not None else 2 * TC_MAX + 1
+    lanes = jnp.arange(w, dtype=jnp.float32)
+    if t0 is None:
+        m = lanes - float(TC_MAX)                          # (W,)
+        m = jnp.broadcast_to(m, tc.shape + (w,))
+        covered = jnp.abs(m) <= tc[..., None]
+    else:
+        m = t0[..., None] + lanes
+        covered = lanes <= tc[..., None]
+    mv = m[..., None, None, :]                             # (..., 1, 1, W)
+    cov = covered[..., None, None, :]
+    x_true = e_maj[..., None] + (trx[..., None, None, None]
+                                 + mv * vx[..., None, None, None])
+    base = (e_maj + trx[..., None, None]).astype(jnp.int32)
+    s_i = jnp.where(vx < 0, -1, 1).astype(jnp.int32)
+    ident = base[..., None] + s_i[..., None, None, None] * mv.astype(jnp.int32)
+    dev = cov & (x_true >= 0.0) & (x_true < jnp.float32(2 ** 30)) \
+        & (x_true.astype(jnp.int32) != ident)
+    return jnp.any(dev, axis=(-1, -2))                     # reduce (E, W) -> L
+
+
+def build_fields_v3(cand_lines, cand_mask, rast, valid, slice_idx, scene_tr,
+                    *, depth, q, cap=None):
+    """v3 item-field array: ``(N, NF3)`` f32 sorted by sid, plus per-candidate
+    covered steps ``tc (S, C)`` (0 where the identity mapping deviates — those
+    candidates resolve on the straggler path)."""
+    s, c, l = cand_mask.shape
+    rx, ry = rast[..., 0], rast[..., 1]
+    finite = jnp.isfinite(rx) & jnp.isfinite(ry)
+    is_x_major = jnp.abs(rx) >= jnp.abs(ry)
+
+    vx = jnp.where(is_x_major, rx, ry)                    # (S, C) |.| == 1
+    vy = jnp.where(is_x_major, ry, rx)
+    trx = jnp.where(is_x_major, scene_tr[:, None, 0], scene_tr[:, None, 1])
+    tr_y = jnp.where(is_x_major, scene_tr[:, None, 1], scene_tr[:, None, 0])
+
+    avy = jnp.abs(vy)
+    tc = jnp.minimum(float(TC_MAX),
+                     jnp.floor(Y_BUDGET3 / jnp.maximum(avy, 1e-6)))
+    tc = jnp.where(finite, tc, 0.0)                       # (S, C) f32
+
+    ep = cand_lines.reshape(s, c, l, 2, 2)                # [p1, p2] x (x, y)
+    e_x = ep[..., 0]                                      # (S, C, L, 2)
+    e_y = ep[..., 1]
+    e_maj = jnp.where(is_x_major[..., None, None], e_x, e_y)
+    e_min = jnp.where(is_x_major[..., None, None], e_y, e_x)
+
+    dev = _identity_deviance(jnp.where(cand_mask[..., None], e_maj, 0.0),
+                             trx, vx, tc)                 # (S, C, L)
+    dev_cand = jnp.any(dev & cand_mask, axis=-1)          # (S, C)
+    tc = jnp.where(dev_cand, 0.0, tc)
+
+    use = cand_mask & valid[..., None] & finite[..., None] \
+        & ~dev_cand[..., None]
+    wt = use.astype(jnp.float32)
+    scene_id = jax.lax.broadcasted_iota(jnp.int32, (s, c, l), 0)
+    sid = (scene_id * 2 + (~is_x_major[..., None]).astype(jnp.int32)) * depth \
+        + slice_idx.astype(jnp.int32)
+    sid = jnp.where(use, sid, s * 2 * depth)              # skips sort last
+
+    bc = lambda a: jnp.broadcast_to(a[..., None], (s, c, l)).reshape(-1)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (s, c, l), 1)
+    cols = [
+        sid.reshape(-1).astype(jnp.float32),
+        slot.reshape(-1).astype(jnp.float32),
+        wt.reshape(-1),
+        bc(tc),
+        e_maj[..., 0].reshape(-1), e_min[..., 0].reshape(-1),
+        e_maj[..., 1].reshape(-1), e_min[..., 1].reshape(-1),
+        bc(vx), bc(vy), bc(trx), bc(tr_y),
+        jnp.zeros(s * c * l, jnp.float32),                # G_T0
+    ]
+    fields = jnp.stack(cols, axis=-1)                     # (S*C*L, NF3)
+
+    sent = jnp.zeros((s, NF3), jnp.float32)
+    sent = sent.at[:, G_SID].set(
+        (jnp.arange(s, dtype=jnp.int32) * 2 * depth).astype(jnp.float32))
+    fields = jnp.concatenate([fields, sent], axis=0)
+
+    n_raw = fields.shape[0]
+    n_pad = -(-n_raw // IB) * IB
+    pad = jnp.zeros((n_pad - n_raw, NF3), jnp.float32)
+    pad = pad.at[:, G_SID].set(float(s * 2 * depth))
+    fields = jnp.concatenate([fields, pad], axis=0)
+
+    key = fields[:, G_SID].astype(jnp.int32)
+    _, perm = jax.lax.sort_key_val(key, jnp.arange(n_pad, dtype=jnp.int32))
+    if cap is not None and cap < n_pad:
+        perm = perm[:cap]
+    fields = jnp.take(fields, perm, axis=0)
+    return fields, tc.astype(jnp.int32)
+
+
+def build_fields_ext_v3(cand_lines, cand_mask, vdir, active, slice_idx,
+                        scene_of, scene_tr, t0, *, depth, q):
+    """v3 item fields for the straggler extension pass (one-sided window
+    ``[t0, t0+cover]``; lanes ``l < 64`` hold steps ``t0 + l``)."""
+    b, l = cand_mask.shape
+    rx, ry = vdir[..., 0], vdir[..., 1]
+    finite = jnp.isfinite(rx) & jnp.isfinite(ry)
+    is_x_major = jnp.abs(rx) >= jnp.abs(ry)
+    vx = jnp.where(is_x_major, rx, ry)
+    vy = jnp.where(is_x_major, ry, rx)
+    str_x = scene_tr[scene_of]                            # (b, 2)
+    trx = jnp.where(is_x_major, str_x[:, 0], str_x[:, 1])
+    tr_y = jnp.where(is_x_major, str_x[:, 1], str_x[:, 0])
+
+    avy = jnp.abs(vy)
+    cover = jnp.minimum(61.0,
+                        jnp.floor(Y_BUDGET3_EXT / jnp.maximum(avy, 1e-6)))
+    cover = jnp.where(finite & active, cover, 0.0)
+
+    ep = cand_lines.reshape(b, l, 2, 2)
+    e_x = ep[..., 0]
+    e_y = ep[..., 1]
+    e_maj = jnp.where(is_x_major[..., None, None], e_x, e_y)
+    e_min = jnp.where(is_x_major[..., None, None], e_y, e_x)
+
+    dev = _identity_deviance(jnp.where(cand_mask[..., None], e_maj, 0.0),
+                             trx, vx, cover, t0=t0, span=62)   # (b, L)
+    dev_cand = jnp.any(dev & cand_mask, axis=-1)
+    cover = jnp.where(dev_cand, 0.0, cover)
+
+    use = cand_mask & active[..., None] & finite[..., None] \
+        & ~dev_cand[..., None]
+    wt = use.astype(jnp.float32)
+    sid = (scene_of[:, None] * 2 + (~is_x_major[:, None]).astype(jnp.int32)) \
+        * depth + slice_idx.astype(jnp.int32)
+    s_max = int(scene_tr.shape[0])
+    sid = jnp.where(use, sid, s_max * 2 * depth)
+
+    bc = lambda a: jnp.broadcast_to(a[..., None], (b, l)).reshape(-1)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (b, l), 0)
+    cols = [
+        sid.reshape(-1).astype(jnp.float32),
+        slot.reshape(-1).astype(jnp.float32),
+        wt.reshape(-1),
+        bc(cover),
+        e_maj[..., 0].reshape(-1), e_min[..., 0].reshape(-1),
+        e_maj[..., 1].reshape(-1), e_min[..., 1].reshape(-1),
+        bc(vx), bc(vy), bc(trx), bc(tr_y),
+        bc(t0),
+    ]
+    fields = jnp.stack(cols, axis=-1)
+
+    n_raw = fields.shape[0]
+    n_pad = -(-n_raw // IB) * IB
+    pad = jnp.zeros((n_pad - n_raw, NF3), jnp.float32)
+    pad = pad.at[:, G_SID].set(float(s_max * 2 * depth))
+    fields = jnp.concatenate([fields, pad], axis=0)
+
+    key = fields[:, G_SID].astype(jnp.int32)
+    _, perm = jax.lax.sort_key_val(key, jnp.arange(n_pad, dtype=jnp.int32))
+    fields = jnp.take(fields, perm, axis=0)
+    return fields, cover.astype(jnp.int32)
+
+
+def window_scores_ext_v3(banks, cand_lines, cand_mask, vdir, active,
+                         slice_idx, scene_of, scene_tr, t0):
+    """v3 extension-pass scores: ``(b, 64)`` where lane l is step ``t0 + l``
+    along ``vdir``, plus per-candidate covered steps ``cover (b,)``."""
+    s, depth, q, _ = banks[0].shape
+    b = cand_mask.shape[0]
+    fields, cover = build_fields_ext_v3(cand_lines, cand_mask, vdir, active,
+                                        slice_idx, scene_of, scene_tr, t0,
+                                        depth=depth, q=q)
+    out = window_scores_device_v3(banks, fields, s_dim=s, c_dim=b,
+                                  depth=depth, q=q, two_sided=False,
+                                  single_flush=True)
+    return out[0, :, :K_POS], cover
+
+
+def window_scores_v3(dt3, scene_tr, cand_lines, cand_mask, rast, valid,
+                     slice_idx):
+    """v3 full entry, mirroring :func:`window_scores`."""
+    s, depth, q, q2 = dt3.shape
+    assert q == q2 and q % 128 == 0, "v3 kernel needs a square 128-mult canvas"
+    c = cand_mask.shape[1]
+    fields, tc = build_fields_v3(cand_lines, cand_mask, rast, valid,
+                                 slice_idx, scene_tr, depth=depth, q=q)
+    banks = prep_dt3_banks(dt3)
+    out = window_scores_device_v3(banks, fields, s_dim=s, c_dim=c,
+                                  depth=depth, q=q)
+    return out, tc
+
+
 def build_fields(cand_lines, cand_mask, rast, valid, slice_idx, scene_tr,
                  *, depth, q, cap=None):
     """Construct the sorted item-field array for the kernel.

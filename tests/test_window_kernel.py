@@ -124,7 +124,8 @@ def interpret_kernel(monkeypatch):
     yield
 
 
-def test_window_scores_interpret_matches_xla(interpret_kernel):
+@pytest.mark.parametrize("version", [2, 3])
+def test_window_scores_interpret_matches_xla(interpret_kernel, version):
     rng = np.random.default_rng(7)
     s, c, l, d, q = 2, 8, 4, 6, 256
     dt3 = jnp.asarray(rng.uniform(0, 100, (s, d, q, q)).astype(np.float32))
@@ -141,8 +142,9 @@ def test_window_scores_interpret_matches_xla(interpret_kernel):
     valid = jnp.asarray(rng.uniform(size=(s, c)) < 0.9)
     slice_idx = jnp.asarray(rng.integers(0, d, (s, c, l)).astype(np.int32))
 
-    kout, tc = wk.window_scores(dt3, scene_tr, cand_lines, cand_mask, rast,
-                                valid, slice_idx)
+    entry = wk.window_scores if version == 2 else wk.window_scores_v3
+    kout, tc = entry(dt3, scene_tr, cand_lines, cand_mask, rast,
+                     valid, slice_idx)
 
     lane = jnp.arange(wk.K_LANES)
     mm = jnp.where(lane < wk.K_POS, lane, -(lane - (wk.K_POS - 1))) \
@@ -197,3 +199,46 @@ def test_match_many_scene_mesh_kernel(interpret_kernel):
             assert x.tmpl_idx == y.tmpl_idx
             assert abs(x.score - y.score) <= 1e-5 * max(abs(x.score), 1.0)
             np.testing.assert_allclose(x.transform, y.transform, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# identity-mapping deviance (v3)
+# ---------------------------------------------------------------------------
+
+def test_v3_identity_deviance_detected_and_quarantined():
+    """The v3 kernel's column identity ``trunc(e+tr)+m`` can differ from the
+    reference's double-rounded ``trunc(e+(tr+m))`` for rare f32 values
+    (``dt3cpu.cpp:151-165`` op order).  Such items must be detected and the
+    whole candidate handed to the straggler path (tc = 0, wt = 0)."""
+    # Found by scan: trunc(ex + (trx+1)) == 513 but trunc(ex+trx) + 1 == 512.
+    ex, trx = np.float32(478.9451599), np.float32(33.05481339)
+    assert np.trunc(np.float32(ex + np.float32(trx + 1))) == 513.0
+    assert np.trunc(np.float32(ex + trx)) + 1 == 512.0
+
+    e_maj = jnp.asarray([[[[ex, ex - 3.0], [10.0, 12.0]]]])   # (1,1,2,2)
+    dev = wk._identity_deviance(e_maj, jnp.asarray([[trx]]),
+                                jnp.asarray([[1.0]]), jnp.asarray([[10.0]]))
+    assert bool(dev[0, 0, 0]) and not bool(dev[0, 0, 1])
+
+    # build_fields_v3 quarantines the candidate: tc == 0, every item wt == 0.
+    s, c, l, q, d = 1, 1, 2, 256, 4
+    cand_lines = jnp.asarray(
+        [[[[ex, 40.0, ex + 5.0, 42.0],
+           [30.0, 60.0, 44.0, 61.0]]]], jnp.float32)
+    cand_mask = jnp.ones((s, c, l), bool)
+    rast = jnp.asarray([[[1.0, 0.25]]], jnp.float32)
+    valid = jnp.ones((s, c), bool)
+    slice_idx = jnp.zeros((s, c, l), jnp.int32)
+    scene_tr = jnp.asarray([[trx, 5.0]], jnp.float32)
+    fields, tc = wk.build_fields_v3(cand_lines, cand_mask, rast, valid,
+                                    slice_idx, scene_tr, depth=d, q=q)
+    assert int(tc[0, 0]) == 0
+    assert float(np.asarray(fields)[:, wk.G_WT].sum()) == 0.0
+
+    # A clean candidate on the same shapes keeps its coverage.
+    clean = jnp.asarray(
+        [[[[100.0, 40.0, 105.0, 42.0], [30.0, 60.0, 44.0, 61.0]]]],
+        jnp.float32)
+    _, tc2 = wk.build_fields_v3(clean, cand_mask, rast, valid, slice_idx,
+                                scene_tr, depth=d, q=q)
+    assert int(tc2[0, 0]) > 0
