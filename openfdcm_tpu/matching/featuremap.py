@@ -270,14 +270,16 @@ def propagate_orientation_relax(dt3: jax.Array, steps) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def build_featuremap(scene, params: Dt3Params = Dt3Params(),
-                     pad_to: int | None = 64) -> Dt3Featuremap:
+                     pad_to: int | None = 128) -> Dt3Featuremap:
     """Build the DT3 feature map of a scene.  Reference ``dt3cpu.h:174-234``.
 
     ``scene`` is host data (``(N, 4)`` or the reference's ``(4, N)``).
     ``pad_to``: optionally round the *physical* canvas up to a multiple for
     tile alignment / compilation-cache friendliness; the logical region and
     all lookups are unaffected (padding lives on the trailing side of every
-    sweep).
+    sweep).  The default (128) keeps every build on the banded Pallas EDT
+    row pass (``core/dt.py:_use_banded_rows``) and every search on the
+    Pallas window kernel, both of which need 128-aligned canvases.
     """
     scene = geo.as_lines_np(scene)
     if scene.shape[0] == 0:

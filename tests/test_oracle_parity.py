@@ -17,8 +17,23 @@ from tests import oracle
 from tests.utils import create_lines, apply_transform
 
 
-@pytest.mark.parametrize("distance", [of.Distance.L2, of.Distance.L2_SQUARED])
+@pytest.mark.parametrize("distance", [of.Distance.L2, of.Distance.L2_SQUARED,
+                                      of.Distance.L1])
 def test_device_walks_match_reference_oracle(distance):
+    _walk_parity(distance, of.DefaultOptimize(),
+                 lambda *a: oracle.default_optimize(*a))
+
+
+@pytest.mark.parametrize("distance", [of.Distance.L2, of.Distance.L1])
+def test_device_batch_walks_match_reference_oracle(distance):
+    """BatchOptimize chain decisions (batch argmin / break-before-keep /
+    interior rise, ``batchoptimize.cpp:48-94``) vs the numpy oracle —
+    candidate by candidate."""
+    _walk_parity(distance, of.BatchOptimize(10),
+                 lambda *a: oracle.batch_optimize(*a, 10))
+
+
+def _walk_parity(distance, optimizer, oracle_fn):
     tmpl = np.asarray(create_lines(10, 60))
     st = np.array([[-1, 0, 60], [0, -1, 60]], np.float32)
     scene = apply_transform(tmpl, st)
@@ -30,7 +45,7 @@ def test_device_walks_match_reference_oracle(distance):
     scene_tr = np.asarray(fm.scene_translation)
 
     matches = of.search(of.DefaultMatch(), of.DefaultSearch(4, 10),
-                        of.DefaultOptimize(), fm, [tmpl], scene)
+                        optimizer, fm, [tmpl], scene)
 
     ta = geo.as_lines_np(tmpl)
     sa = geo.as_lines_np(scene)
@@ -44,8 +59,8 @@ def test_device_walks_match_reference_oracle(distance):
             aligned = np.asarray(geo.transform(jnp.asarray(ta),
                                                jnp.asarray(transforms[pol])))
             av = np.asarray(geo.normalize(jnp.asarray(sa[sl])))
-            r = oracle.default_optimize(dt3, angles, scene_tr,
-                                        (float(w), float(h)), aligned, av)
+            r = oracle_fn(dt3, angles, scene_tr, (float(w), float(h)),
+                          aligned, av)
             if r is not None:
                 assert np.isclose(r[0], matches[checked].score,
                                   rtol=1e-6, atol=1e-3), (k, r[0], matches[checked].score)
