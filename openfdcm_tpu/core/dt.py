@@ -83,17 +83,14 @@ def _minplus_quadratic_rows(g: jax.Array) -> jax.Array:
     return out
 
 
-@partial(jax.jit, static_argnames=("metric",))
-def dt_from_indicator(ind: jax.Array, *, metric: Distance) -> jax.Array:
-    """Exact DT of a seed-indicator image ``(..., H, W)``.
-
-    ``ind`` holds 0.0 at seed pixels and ``F32_MAX`` (or +inf) elsewhere.
+def row_pass(g: jax.Array, *, metric: Distance) -> jax.Array:
+    """Horizontal combine of the column-pass distances ``g`` ``(..., H, W)``
+    under ``metric`` — per-row math only (no cross-row dependence), so it is
+    reused verbatim by the spatially sharded build
+    (``parallel/spatial.py``): identical ops per row => bit-identical.
     """
-    h, w = ind.shape[-2], ind.shape[-1]
-    lead = ind.shape[:-2]
-
-    # Column pass: vertical distance along y (axis -2).
-    g = jnp.swapaxes(_nearest_1d_l1(jnp.swapaxes(ind, -1, -2)), -1, -2)
+    w = g.shape[-1]
+    lead_hw = g.shape[:-1]
 
     if metric == Distance.L1:
         out = _nearest_1d_l1(g)
@@ -117,11 +114,22 @@ def dt_from_indicator(ind: jax.Array, *, metric: Distance) -> jax.Array:
         rows_p = jnp.pad(rows, ((0, pad), (0, 0)), constant_values=jnp.inf)
         blocks = rows_p.reshape(-1, _ROW_BLOCK, w)
         out = jax.lax.map(_minplus_quadratic_rows, blocks)
-    out = out.reshape(-1, w)[:r_total].reshape(*lead, h, w)
+    out = out.reshape(-1, w)[:r_total].reshape(*lead_hw, w)
     out = jnp.minimum(out, F32_MAX)
     if metric == Distance.L2:
         out = jnp.where(out >= F32_MAX, F32_MAX, jnp.sqrt(out))
     return out
+
+
+@partial(jax.jit, static_argnames=("metric",))
+def dt_from_indicator(ind: jax.Array, *, metric: Distance) -> jax.Array:
+    """Exact DT of a seed-indicator image ``(..., H, W)``.
+
+    ``ind`` holds 0.0 at seed pixels and ``F32_MAX`` (or +inf) elsewhere.
+    """
+    # Column pass: vertical distance along y (axis -2).
+    g = jnp.swapaxes(_nearest_1d_l1(jnp.swapaxes(ind, -1, -2)), -1, -2)
+    return row_pass(g, metric=metric)
 
 
 def _use_banded_rows(w: int) -> bool:

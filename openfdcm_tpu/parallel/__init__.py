@@ -4,9 +4,10 @@ from .sharded import (
     optimize_candidates_sharded_batch, topk_candidates,
 )
 from .distributed import initialize, global_topk
+from .spatial import build_featuremap_spatial
 
 __all__ = [
     "make_mesh", "pad_to_multiple", "optimize_candidates_sharded",
     "optimize_candidates_sharded_batch", "topk_candidates",
-    "initialize", "global_topk",
+    "initialize", "global_topk", "build_featuremap_spatial",
 ]
