@@ -58,7 +58,10 @@ def xla_window(dt3, scene_tr, cand_lines, cand_mask, rast, valid, slice_idx):
                          cand_mask.astype(jnp.float32), trans)
 
 
-def main():
+def check_exactness(verbose=True) -> int:
+    """Kernel-vs-XLA parity on random realistic geometry; returns mismatch
+    count (0 = exact).  Callable from the bench harness so every BENCH run
+    exercises the real-hardware kernel."""
     rng = np.random.default_rng(7)
     dt3, scene_tr, cand_lines, cand_mask, align, valid = make_case(rng)
     rast = ras.rasterize_vector(align)
@@ -85,16 +88,24 @@ def main():
     diff = np.abs(kout - xout)
     rel = diff / np.maximum(np.abs(xout), 1.0)
     bad = check & (rel > 1e-5)
-    print(f"checked lanes: {check.sum()}  mismatches: {bad.sum()}")
-    if bad.sum():
+    if verbose:
+        print(f"checked lanes: {check.sum()}  mismatches: {bad.sum()}")
+    if bad.sum() and verbose:
         idx = np.argwhere(bad)[:10]
         for s_, c_, l_ in idx:
             print(f"  s={s_} c={c_} lane={l_} m_abs={m_abs[l_]} "
                   f"tc={tc[s_, c_]} kout={kout[s_, c_, l_]} xout={xout[s_, c_, l_]}")
+    return int(bad.sum())
+
+
+def main():
+    rng = np.random.default_rng(7)
+    if check_exactness():
         sys.exit(1)
     print("EXACTNESS OK")
 
     if "perf" in sys.argv:
+        angles = jnp.asarray(fm.make_angles(30))
         s, c, l, q = 8, 9216, 16, 640
         dt3, scene_tr, cand_lines, cand_mask, align, valid = make_case(
             rng, s=s, c=c, l=l, q=q)
