@@ -381,7 +381,7 @@ def search(matcher, searcher, optimizer, featuremap: fm.Dt3Featuremap,
         mats[:, :, 2] += np.asarray(translations)
         mats = jnp.asarray(mats)
     else:
-        from .optimize_kernel import kernel_supported
+        from .optimize_kernel import kernel_supported, cap_bucket
         if kernel_supported((1, d, ph, pw), mode):
             counts_arr = np.asarray([t.shape[0] for t in bank.host], np.int64)
             n_items = int(2 * counts_arr[pairs_padded[:, 0]].sum()) + 1
@@ -395,7 +395,7 @@ def search(matcher, searcher, optimizer, featuremap: fm.Dt3Featuremap,
                 featuremap.scene_translation[None], feature_size[None],
                 lmax=lmax, hw=(ph, pw), mode=mode, window=max(window, 1),
                 dense_steps=dense_steps, use_kernel=True,
-                items_cap=-(-n_items // 4096) * 4096)
+                items_cap=cap_bucket(n_items))
             scores, mats, valid = scores[0], mats[0], valid[0]
         else:
             scores, mats, valid = _search_device(

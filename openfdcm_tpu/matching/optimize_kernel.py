@@ -268,6 +268,18 @@ def optimize_candidates_batch_kernel(dt3, angles, scene_tr, feature_size,
     return best.reshape(s, c), translation, valid
 
 
+def cap_bucket(n_items: int) -> int:
+    """Grid-size bucket for the kernel item stream: next power of two
+    (>= 4096).  Masked tail items are skipped at near-zero cost, so the
+    <2x padding costs ~nothing, while chunks of similar-but-unequal
+    content share one compiled executable — the 4096-quantum buckets
+    multiplied warm-up compiles across chunks/objects (VERDICT r1 #5)."""
+    n = 4096
+    while n < n_items:
+        n *= 2
+    return n
+
+
 def kernel_supported(dt3_shape, mode: str, mesh=None) -> bool:
     """Whether the Pallas path applies for this dispatch."""
     import os

@@ -334,7 +334,7 @@ def _search_chunk_dispatch(searcher, optimizer, featuremaps, templates, scenes,
 
     # Kernel path: the Pallas window kernel skips masked lines at ~zero
     # cost, so lmax bucketing only fragments dispatches there.
-    from .optimize_kernel import kernel_supported
+    from .optimize_kernel import kernel_supported, cap_bucket
     use_kernel = kernel_supported(featuremaps.dt3.shape, mode, mesh)
 
     # Probe cost in the XLA path scales with the padded template line count,
@@ -381,7 +381,7 @@ def _search_chunk_dispatch(searcher, optimizer, featuremaps, templates, scenes,
                 # stream; truncate the grid at the real-item count (bucketed
                 # so repeated dispatches share compiles).
                 n_items = int(2 * counts[pair_arr[:, :, 0]].sum()) + s_count
-                kwargs["items_cap"] = -(-n_items // 4096) * 4096
+                kwargs["items_cap"] = cap_bucket(n_items)
             args = (bank.lines[:, :lv], bank.mask[:, :lv],
                     jnp.asarray(pair_arr[:, :, 0]), jnp.asarray(pair_arr[:, :, 1]),
                     jnp.asarray(pair_arr[:, :, 2]), scene_dev,
@@ -397,7 +397,7 @@ def _search_chunk_dispatch(searcher, optimizer, featuremaps, templates, scenes,
                         [2 * int(counts[pair_arr[i, :, 0]].sum()) + 1
                          for i in range(s_count)], np.int64)
                     cap_dev = int(per_scene.reshape(-1, k_sh).sum(axis=1).max())
-                    kwargs["items_cap"] = -(-cap_dev // 4096) * 4096
+                    kwargs["items_cap"] = cap_bucket(cap_dev)
                     kwargs["use_kernel"] = True
                 if post is not None:
                     lengths_dev, tau, k = post

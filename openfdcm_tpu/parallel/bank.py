@@ -97,7 +97,7 @@ def match_many_bank_sharded(scenes, templates, params, searcher, optimizer,
     ``list[list[Match]]`` per scene, k best, ascending score.
     """
     from ..matching.pipeline import build_featuremap_batch
-    from ..matching.optimize_kernel import kernel_supported
+    from ..matching.optimize_kernel import kernel_supported, cap_bucket
 
     n_bank = mesh.shape[bank_axis]
     n_sc = mesh.shape.get(scene_axis, 1)
@@ -186,7 +186,7 @@ def _dispatch_chunk(group, arrs, searcher, optimizer, params, mesh, shards,
                 v = pair_valid[s0: s0 + k_sh, b * pb: (b + 1) * pb]
                 caps.append(2 * int(counts[b * t_shard + blk[..., 0]][v].sum())
                             + k_sh)
-        items_cap = -(-max(caps) // 4096) * 4096
+        items_cap = cap_bucket(max(caps))
 
     kk = min(top_k, 2 * pb)
 
