@@ -217,6 +217,63 @@ def _search_device_batch_topk(tmpl_lines, tmpl_mask, pair_t, pair_tl, pair_sl,
             idx, take(valid, idx))
 
 
+@partial(jax.jit, static_argnames=("lmax", "hw", "mode", "window",
+                                   "dense_steps", "k", "ms", "use_kernel",
+                                   "items_cap", "has_annulus"))
+def _search_device_batch_topk_genpairs(tmpl_lines, tmpl_mask, top_vals, ord_t,
+                                       rank_ok, scenes, n_real, dt3_flat,
+                                       angles, scene_tr, feature_size,
+                                       lengths, tau, annulus, *, lmax, hw,
+                                       mode, window, dense_steps, k, ms,
+                                       use_kernel=False, items_cap=None,
+                                       has_annulus=False):
+    """Top-k search with pair generation ON DEVICE: only raw scene lines are
+    uploaded; the (template, scene-line) windows are computed where the data
+    lives (:func:`openfdcm_tpu.matching.search.device_pairs`), removing the
+    per-chunk ``(S, P, 3)`` pair upload of the host path.
+
+    Candidate order is the same emplace order on a ``(T, mt, ms)`` grid with
+    invalid slots masked (the host path packs them out), so tie-breaks can
+    differ from the host path only between equal scores.  Returns
+    ``(scores_k (S,k), mats_k (S,k,2,3), tmpl_k (S,k), valid_k (S,k))`` —
+    template indices come back from the device, no host pair table needed.
+    """
+    from .search import device_pairs
+
+    t_count, mt = ord_t.shape
+    s_count = scenes.shape[0]
+    p = t_count * mt * ms
+
+    def pairs_one(sc, nr):
+        sl, wok = device_pairs(sc, nr, top_vals, rank_ok, ms,
+                               annulus if has_annulus else None)
+        return sl.reshape(-1), wok.reshape(-1)
+
+    sl, wok = jax.vmap(pairs_one)(scenes, n_real)            # (S, P)
+    pair_t = jnp.broadcast_to(
+        jnp.repeat(jnp.arange(t_count, dtype=jnp.int32), mt * ms)[None],
+        (s_count, p))
+    pair_tl = jnp.broadcast_to(
+        jnp.repeat(ord_t.reshape(-1).astype(jnp.int32), ms)[None],
+        (s_count, p))
+
+    scores, mats, valid = _search_device_batch(
+        tmpl_lines, tmpl_mask, pair_t, pair_tl, sl, scenes, dt3_flat,
+        angles, scene_tr, feature_size, lmax=lmax, hw=hw, mode=mode,
+        window=window, dense_steps=dense_steps, use_kernel=use_kernel,
+        items_cap=items_cap)
+    tof = jnp.repeat(pair_t, 2, axis=1)
+    pen = jnp.where(jnp.isnan(tau), 1.0,
+                    jnp.power(jnp.maximum(lengths[tof], 1e-6), tau))
+    masked = jnp.where(valid & jnp.repeat(wok, 2, axis=1),
+                       scores / pen, jnp.inf)
+    neg_top, idx = jax.lax.top_k(-masked, k)                 # ties -> low idx
+    return (-neg_top,
+            jnp.take_along_axis(mats, idx[..., None, None], axis=1),
+            jnp.take_along_axis(tof, idx, axis=1),
+            jnp.take_along_axis(valid, idx, axis=1))
+
+
 def _search_device_batch_topk_sharded(mesh, tmpl_lines, tmpl_mask, pair_t,
                                       pair_tl, pair_sl, scenes, dt3_flat,
                                       angles, scene_tr, feature_size, lengths,

@@ -203,11 +203,28 @@ def match_many(scenes, templates, params: fm.Dt3Params, searcher, optimizer,
         elif type(penalty) is ExponentialPenalty:
             post = (jnp.asarray(lengths), jnp.float32(penalty.tau), top_k)
 
+    # Device-side pair generation: for the built-in strategies under the
+    # top-k path, skip the per-chunk (S, P, 3) pair upload entirely — only
+    # raw scene lines go to the device (search.device_pairs).
+    import os
+    use_devpairs = (post is not None and mesh is None
+                    and type(searcher) in (DefaultSearch,
+                                           ConcentricRangeStrategy)
+                    and bank.lengths_np is not None and len(bank.host) > 0
+                    and os.environ.get("OPENFDCM_TPU_DEVPAIRS", "1") != "0")
+
     out = [None] * len(scenes)
     for key in sorted(buckets):
         idxs = buckets[key]
         group = [scenes[i] for i in idxs]
         fms = build_featuremap_batch(group, params, pad_to=pad_to)
+        if use_devpairs:
+            rows_all = _genpairs_batch_arrays(
+                searcher, optimizer, fms, bank, [arrs[i] for i in idxs],
+                post, scene_chunk)
+            for i, rows in zip(idxs, rows_all):
+                out[i] = [Match(t, s, m.copy()) for (s, t, m) in rows[:top_k]]
+            continue
         res = _search_batch_arrays(searcher, optimizer, fms, bank, group,
                                    scene_chunk=scene_chunk, mesh=mesh,
                                    post=post)
@@ -429,6 +446,104 @@ def _search_chunk_dispatch(searcher, optimizer, featuremaps, templates, scenes,
 
     mode_tag = "topk" if post is not None else "full"
     return per_scene_pairs, parts, mode_tag, None
+
+
+def _genpairs_batch_arrays(searcher, optimizer, featuremaps, bank, arrs,
+                           post, scene_chunk: int) -> list:
+    """Top-k search with on-device pair generation.  Returns per scene a
+    ranked list of ``(penalized_score, tmpl_idx, mat (2,3))`` rows.
+
+    Large banks chunk along the template axis; per-scene results merge by
+    (score, chunk, rank).  No pair arrays are built or uploaded.
+    """
+    from .match import _search_device_batch_topk_genpairs
+    from .search import bank_line_table
+    from .optimize_kernel import kernel_supported, cap_bucket
+
+    lengths_dev, tau, top_k = post
+    s_total = len(featuremaps)
+    lmax = bank.lmax
+    counts = bank.counts_np.astype(np.int64)
+    t_count = len(bank.host)
+    mt = min(searcher.get_max_tmpl_lines(), lmax)
+    ms = searcher.get_max_scene_lines()
+    if mt == 0 or ms == 0:
+        return [[] for _ in range(s_total)]
+    ord_t, k_t = bank_line_table(bank.lengths_np, counts, mt)
+    lens_m = np.where(np.arange(lmax)[None, :] < counts[:, None],
+                      bank.lengths_np, -np.inf)
+    top_vals = np.take_along_axis(
+        lens_m, ord_t.astype(np.int64), axis=1).astype(np.float32)
+    rank_ok = np.arange(mt)[None, :] < k_t[:, None]
+    has_annulus = isinstance(searcher, ConcentricRangeStrategy)
+    annulus = jnp.asarray(
+        [*searcher.center_position, searcher.low_boundary,
+         searcher.high_boundary] if has_annulus else [0.0] * 4, jnp.float32)
+
+    mode, window = opt.optimizer_mode(optimizer)
+    ph, pw = featuremaps.dt3.shape[2], featuremaps.dt3.shape[3]
+    fs = np.asarray([[float(w), float(h)]
+                     for (w, h) in featuremaps.feature_sizes], np.float32)
+    dense_steps = opt.dense_step_count(optimizer, int(fs.max()))
+    use_kernel = kernel_supported(featuremaps.dt3.shape, mode, None)
+
+    nb = _bucket(max((a.shape[0] for a in arrs), default=1), 128)
+    scene_arr = np.zeros((s_total, nb, 4), np.float32)
+    n_real = np.zeros((s_total,), np.int32)
+    for i, a in enumerate(arrs):
+        scene_arr[i, : a.shape[0]] = a
+        n_real[i] = a.shape[0]
+
+    # template-axis chunks bound the candidate tensor per dispatch
+    pair_budget = _PAIR_CHUNK * (4 if use_kernel else 1)
+    n_chunks = -(-s_total // scene_chunk)
+    s_chunk = -(-s_total // max(n_chunks, 1))
+    max_pairs = max(pair_budget // max(s_chunk, 1), mt * ms)
+    t_chunk = max(1, max_pairs // (mt * ms))
+    t_chunk = min(t_chunk, t_count)
+
+    dispatches = []
+    for lo in range(0, s_total, s_chunk):
+        idx = list(range(lo, min(lo + s_chunk, s_total)))
+        pad = idx + [lo] * (s_chunk - len(idx))
+        pad_np = np.asarray(pad)
+        sub_dt3 = featuremaps.dt3[pad_np].reshape(s_chunk, -1)
+        sub_tr = featuremaps.scene_translations[pad_np]
+        sub_fs = jnp.asarray(fs[pad_np])
+        sub_scene = jnp.asarray(scene_arr[pad_np])
+        sub_n = jnp.asarray(n_real[pad_np])
+        parts = []
+        for t0 in range(0, t_count, t_chunk):
+            t1 = min(t0 + t_chunk, t_count)
+            items = int(2 * mt * ms * counts[t0:t1].sum()) * s_chunk + s_chunk
+            kk = min(top_k, 2 * (t1 - t0) * mt * ms)
+            parts.append((t0, kk, _search_device_batch_topk_genpairs(
+                bank.lines[t0:t1], bank.mask[t0:t1],
+                jnp.asarray(top_vals[t0:t1]), jnp.asarray(ord_t[t0:t1]),
+                jnp.asarray(rank_ok[t0:t1]), sub_scene, sub_n, sub_dt3,
+                featuremaps.angles, sub_tr, sub_fs, lengths_dev[t0:t1], tau,
+                annulus, lmax=lmax, hw=(ph, pw), mode=mode,
+                window=max(window, 1), dense_steps=dense_steps, k=kk, ms=ms,
+                use_kernel=use_kernel,
+                items_cap=cap_bucket(items) if use_kernel else None,
+                has_annulus=has_annulus)))
+        dispatches.append((idx, parts))
+
+    out = [None] * s_total
+    for idx, parts in dispatches:
+        merged = [[] for _ in idx]
+        for ci, (t0, kk, dev) in enumerate(parts):
+            sk, mk, tk, vk = (np.asarray(x) for x in dev)
+            for row, i in enumerate(idx):
+                for j in range(kk):
+                    if vk[row, j] and np.isfinite(sk[row, j]):
+                        merged[row].append(
+                            (float(sk[row, j]), ci, j,
+                             int(tk[row, j]) + t0, mk[row, j]))
+        for row, i in enumerate(idx):
+            merged[row].sort(key=lambda r: (r[0], r[1], r[2]))
+            out[i] = [(s, t, m) for (s, _, _, t, m) in merged[row]]
+    return out
 
 
 def _convert_topk(per_scene_pairs, parts):

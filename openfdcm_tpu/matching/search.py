@@ -167,6 +167,91 @@ def bank_pairs(strategy, tmpl_lengths_padded: np.ndarray, counts: np.ndarray,
     return np.ascontiguousarray(out[mask]).astype(np.int32)
 
 
+def bank_line_table(lengths_padded: np.ndarray, counts: np.ndarray,
+                    max_tmpl: int):
+    """Bank-static part of pair generation: per-template top-``max_tmpl``
+    line indices by length (stable desc) and per-template valid-rank counts.
+    Host numpy, computed once per (bank, strategy) and uploaded once.
+    Returns ``(ord_t (T, mt) int32, k_t (T,) int32)``."""
+    t_count, lmax = lengths_padded.shape
+    mt = min(max_tmpl, lmax)
+    lens = np.where(np.arange(lmax)[None, :] < counts[:, None],
+                    lengths_padded, -np.inf)
+    ord_t = np.argsort(-lens, axis=1, kind="stable")[:, :mt].astype(np.int32)
+    k_t = np.minimum(counts, mt).astype(np.int32)
+    return ord_t, k_t
+
+
+def device_pairs(scene, n_real, top_vals, rank_ok, ms: int,
+                 annulus=None):
+    """Scene-dependent pair generation ON DEVICE (DefaultSearch /
+    ConcentricRangeStrategy semantics, ``defaultsearch.cpp:29-49``).
+
+    The host path uploads ``(S, P, 3)`` pair arrays every chunk — dead
+    weight on the interconnect; here only the raw scene lines go up and the
+    windows are computed where the data lives.  Gathers are expressed as
+    one-hot matmuls (MXU) because TPU scalar table-gathers are slow.
+
+    ``scene (N, 4)`` padded lines; ``n_real`` traced real count;
+    ``top_vals (T, mt)`` f32 lengths of each template's top lines
+    (``-inf`` beyond ``k_t``); ``rank_ok (T, mt)``; ``annulus``: optional
+    ``(cx, cy, lo, hi)`` f32 array for the concentric filter.
+    Returns ``(sl (T, mt, ms) int32, win_ok (T, mt, ms) bool)`` —
+    combined with ``ord_t``/``rank_ok`` this is the full pair grid, in
+    reference emplace order (template-major, rank-major, window-minor).
+    Bit-exact vs the host path including the f32 tie rules of
+    ``_closest_desc`` (same f32 compares on the same values).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = scene.shape[0]
+    t_count, mt = top_vals.shape
+    d = scene[:, 2:4] - scene[:, 0:2]
+    slen = jnp.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2).astype(jnp.float32)
+    pos = jnp.arange(n)
+    valid_s = pos < n_real
+    if annulus is not None:
+        centers = (scene[:, 0:2] + scene[:, 2:4]) * 0.5
+        radius = jnp.sqrt(((centers - annulus[:2]) ** 2).sum(axis=1))
+        valid_s &= (radius > annulus[2] - _F32_EPS) & (radius < annulus[3])
+    n_eff = valid_s.sum()
+
+    # stable desc sort, filtered-out lines last (-inf keys sort to the end)
+    keys = jnp.where(valid_s, slen, -jnp.inf)
+    order_s = jnp.argsort(-keys, stable=True)
+    ssl = keys[order_s]
+
+    v = top_vals.reshape(-1)                              # (T*mt,)
+    i = jnp.sum((ssl[None, :] > v[:, None]) & (pos < n_eff)[None, :],
+                axis=1)                                   # count > v
+
+    # one-hot gathers of ssl at i and i-1 (MXU instead of scalar gather)
+    oh_i = (pos[None, :] == jnp.clip(i, 0, n - 1)[:, None]).astype(jnp.float32)
+    oh_p = (pos[None, :] == jnp.clip(i - 1, 0, n - 1)[:, None]).astype(jnp.float32)
+    ssl_f = jnp.where(jnp.isfinite(ssl), ssl, 0.0)
+    at_i = oh_i @ ssl_f
+    at_p = oh_p @ ssl_f
+    closer = jnp.abs(v - at_i) < jnp.abs(v - at_p)
+    c = jnp.where(i == 0, 0,
+                  jnp.where(i >= n_eff, n_eff - 1,
+                            jnp.where(closer, i, i - 1)))
+
+    begin = jnp.maximum(0, c - ms // 2)
+    end = jnp.minimum(begin + ms, n_eff)
+    begin = jnp.maximum(0, end - ms)
+
+    # windows of order_s: R[p, j] = order_s[p + j]; sl = onehot(begin) @ R
+    osf = order_s.astype(jnp.float32)
+    r = jnp.stack([jnp.roll(osf, -j) for j in range(ms)], axis=1)  # (N, ms)
+    oh_b = (pos[None, :] == begin[:, None]).astype(jnp.float32)
+    sl = jnp.round(oh_b @ r).astype(jnp.int32)            # (T*mt, ms)
+    win_ok = (begin[:, None] + jnp.arange(ms)[None, :]) < end[:, None]
+    win_ok &= rank_ok.reshape(-1)[:, None] & (n_eff > 0)
+    return (sl.reshape(t_count, mt, ms),
+            win_ok.reshape(t_count, mt, ms))
+
+
 def establish_search_strategy(strategy, tmpl_lines, scene_lines) -> np.ndarray:
     """Returns ``(M, 2)`` array of (tmpl_line_idx, scene_line_idx)."""
     from ..core import geometry as geo

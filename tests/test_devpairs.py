@@ -1,0 +1,115 @@
+"""On-device pair generation (``search.device_pairs``) parity vs the host
+path: the pair grid must be BIT-EXACT (same windows, same f32 tie rules as
+``_closest_desc``), and ``match_many(top_k=...)`` must return the same
+matches with pair upload removed."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import openfdcm_tpu as of
+from openfdcm_tpu.matching.search import (
+    bank_pairs, bank_line_table, device_pairs, DefaultSearch,
+    ConcentricRangeStrategy)
+from tests.utils import create_lines, make_rotation, apply_transform
+
+
+def _grid_to_packed(sl, wok, ord_t, ms):
+    rows = []
+    t_count, mt = ord_t.shape
+    for t in range(t_count):
+        for r in range(mt):
+            for j in range(ms):
+                if wok[t, r, j]:
+                    rows.append((t, ord_t[t, r], sl[t, r, j]))
+    return np.asarray(rows, np.int32).reshape(-1, 3)
+
+
+def _tables(lens, counts, mt):
+    ord_t, k_t = bank_line_table(lens, counts, mt)
+    lens_m = np.where(np.arange(lens.shape[1])[None, :] < counts[:, None],
+                      lens, -np.inf)
+    top_vals = np.take_along_axis(
+        lens_m, ord_t.astype(np.int64), axis=1).astype(np.float32)
+    rank_ok = np.arange(ord_t.shape[1])[None, :] < k_t[:, None]
+    return ord_t, top_vals, rank_ok
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_device_pairs_bitexact(seed):
+    rng = np.random.default_rng(seed)
+    t_count, lmax, n = int(rng.integers(3, 25)), int(rng.integers(2, 10)), \
+        int(rng.integers(3, 40))
+    counts = rng.integers(1, lmax + 1, t_count)
+    lens = rng.uniform(1, 50, (t_count, lmax)).astype(np.float32)
+    lens[lens < 12] = np.float32(7.5)          # force length ties
+    scene = rng.uniform(0, 100, (n, 4)).astype(np.float32)
+    strat = DefaultSearch(4, 7)
+
+    host = bank_pairs(strat, lens, counts.astype(np.int64), scene)
+    ord_t, top_vals, rank_ok = _tables(lens, counts, strat.max_tmpl_lines)
+    scene_p = np.zeros((n + 5, 4), np.float32)
+    scene_p[:n] = scene
+    sl, wok = jax.jit(device_pairs, static_argnums=(4,))(
+        jnp.asarray(scene_p), n, jnp.asarray(top_vals),
+        jnp.asarray(rank_ok), 7)
+    dev = _grid_to_packed(np.asarray(sl), np.asarray(wok), ord_t, 7)
+    np.testing.assert_array_equal(dev, host)
+
+
+def test_device_pairs_annulus_bitexact():
+    rng = np.random.default_rng(3)
+    counts = rng.integers(1, 9, 12)
+    lens = rng.uniform(1, 50, (12, 8)).astype(np.float32)
+    scene = rng.uniform(0, 100, (25, 4)).astype(np.float32)
+    strat = ConcentricRangeStrategy(3, 5, (50.0, 50.0), 10.0, 60.0)
+
+    host = bank_pairs(strat, lens, counts.astype(np.int64), scene)
+    ord_t, top_vals, rank_ok = _tables(lens, counts, 3)
+    scene_p = np.zeros((32, 4), np.float32)
+    scene_p[:25] = scene
+    ann = jnp.asarray([50.0, 50.0, 10.0, 60.0], jnp.float32)
+    sl, wok = jax.jit(device_pairs, static_argnums=(4,))(
+        jnp.asarray(scene_p), 25, jnp.asarray(top_vals),
+        jnp.asarray(rank_ok), 5, ann)
+    dev = _grid_to_packed(np.asarray(sl), np.asarray(wok), ord_t, 5)
+    np.testing.assert_array_equal(dev, host)
+
+
+def test_match_many_devpairs_equals_host():
+    templates = [np.asarray(create_lines(4 + (i % 5), 40.0 + 10.0 * (i % 3)))
+                 for i in range(8)]
+    scenes = []
+    for j in range(3):
+        mat = np.concatenate([make_rotation(0.3 * j),
+                              np.full((2, 1), 5.0 + j, np.float32)], axis=1)
+        scenes.append(apply_transform(templates[j], mat))
+    params = of.Dt3Params(4, 5.0, 2.2, of.Distance.L2)
+    lengths = of.get_template_lengths(templates)
+    kw = dict(penalty=of.ExponentialPenalty(1.5), template_lengths=lengths,
+              top_k=5)
+
+    old = os.environ.get("OPENFDCM_TPU_DEVPAIRS")
+    try:
+        os.environ["OPENFDCM_TPU_DEVPAIRS"] = "0"
+        host = of.match_many(scenes, templates, params,
+                             of.DefaultSearch(4, 10), of.BatchOptimize(10),
+                             **kw)
+        os.environ["OPENFDCM_TPU_DEVPAIRS"] = "1"
+        dev = of.match_many(scenes, templates, params,
+                            of.DefaultSearch(4, 10), of.BatchOptimize(10),
+                            **kw)
+    finally:
+        if old is None:
+            os.environ.pop("OPENFDCM_TPU_DEVPAIRS", None)
+        else:
+            os.environ["OPENFDCM_TPU_DEVPAIRS"] = old
+    for h, d in zip(host, dev):
+        assert len(h) == len(d) > 0
+        np.testing.assert_allclose(
+            sorted(m.score for m in h), sorted(m.score for m in d),
+            rtol=1e-6, atol=1e-8)
+        assert sorted((round(m.score, 6), m.tmpl_idx) for m in h) == \
+            sorted((round(m.score, 6), m.tmpl_idx) for m in d)
