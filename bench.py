@@ -38,9 +38,34 @@ def _kernel_hardware_check() -> int | None:
     return m.check_exactness(verbose=False)
 
 
+def _probe_backend() -> str:
+    """Probe the TPU backend in a SUBPROCESS (a hung axon relay blocks
+    jax.devices() forever and would wedge the whole bench); fall back to
+    CPU with an honest label if the relay is unreachable."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); "
+             "import sys; sys.exit(0 if d[0].platform != 'cpu' else 3)"],
+            timeout=120, capture_output=True)
+        if r.returncode == 0:
+            return "tpu"
+    except subprocess.TimeoutExpired:
+        pass
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    print("# WARNING: TPU backend unreachable; falling back to CPU",
+          file=sys.stderr)
+    return "cpu-fallback"
+
+
 def main():
+    backend = _probe_backend()
     import openfdcm_tpu as of
-    of.enable_compilation_cache("/root/repo/.jax_cache")
+    of.enable_compilation_cache(
+        "/root/repo/.jax_cache" if backend == "tpu"
+        else "/root/repo/.jax_cache_cpu")
 
     kernel_bad = _kernel_hardware_check()
     if kernel_bad:
@@ -99,6 +124,7 @@ def main():
         "vs_baseline": round(sps / BASELINE_SCENES_PER_S, 3),
         "warmup_s": round(warm, 1),
         "kernel_check_mismatches": kernel_bad,
+        "backend": backend,
     }))
 
 

@@ -274,6 +274,26 @@ def _search_device_batch_topk_genpairs(tmpl_lines, tmpl_mask, top_vals, ord_t,
             jnp.take_along_axis(valid, idx, axis=1))
 
 
+def _genpairs_topk_sharded(mesh, tmpl_lines, tmpl_mask, top_vals, ord_t,
+                           rank_ok, scenes, n_real, dt3_flat, angles,
+                           scene_tr, feature_size, lengths, tau, annulus,
+                           *, axis="scene", **static):
+    """Scene-data-parallel :func:`_search_device_batch_topk_genpairs`: each
+    device generates pairs for and scores its own scene shard; the bank
+    tables are replicated (closed over).  No cross-device collectives."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    def local(sc, nr, dt, tr, fsz):
+        return _search_device_batch_topk_genpairs(
+            tmpl_lines, tmpl_mask, top_vals, ord_t, rank_ok, sc, nr, dt,
+            angles, tr, fsz, lengths, tau, annulus, **static)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(axis),) * 5,
+                   out_specs=(P(axis),) * 4, check_vma=False)
+    return jax.jit(fn)(scenes, n_real, dt3_flat, scene_tr, feature_size)
+
+
 def _search_device_batch_topk_sharded(mesh, tmpl_lines, tmpl_mask, pair_t,
                                       pair_tl, pair_sl, scenes, dt3_flat,
                                       angles, scene_tr, feature_size, lengths,

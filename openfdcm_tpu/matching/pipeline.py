@@ -207,7 +207,8 @@ def match_many(scenes, templates, params: fm.Dt3Params, searcher, optimizer,
     # top-k path, skip the per-chunk (S, P, 3) pair upload entirely — only
     # raw scene lines go to the device (search.device_pairs).
     import os
-    use_devpairs = (post is not None and mesh is None
+    mesh_ok = mesh is None or set(mesh.axis_names) <= {"scene"}
+    use_devpairs = (post is not None and mesh_ok
                     and type(searcher) in (DefaultSearch,
                                            ConcentricRangeStrategy)
                     and bank.lengths_np is not None and len(bank.host) > 0
@@ -221,7 +222,7 @@ def match_many(scenes, templates, params: fm.Dt3Params, searcher, optimizer,
         if use_devpairs:
             rows_all = _genpairs_batch_arrays(
                 searcher, optimizer, fms, bank, [arrs[i] for i in idxs],
-                post, scene_chunk)
+                post, scene_chunk, mesh=mesh)
             for i, rows in zip(idxs, rows_all):
                 out[i] = [Match(t, s, m.copy()) for (s, t, m) in rows[:top_k]]
             continue
@@ -449,14 +450,15 @@ def _search_chunk_dispatch(searcher, optimizer, featuremaps, templates, scenes,
 
 
 def _genpairs_batch_arrays(searcher, optimizer, featuremaps, bank, arrs,
-                           post, scene_chunk: int) -> list:
+                           post, scene_chunk: int, mesh=None) -> list:
     """Top-k search with on-device pair generation.  Returns per scene a
     ranked list of ``(penalized_score, tmpl_idx, mat (2,3))`` rows.
 
     Large banks chunk along the template axis; per-scene results merge by
     (score, chunk, rank).  No pair arrays are built or uploaded.
     """
-    from .match import _search_device_batch_topk_genpairs
+    from .match import _search_device_batch_topk_genpairs, \
+        _genpairs_topk_sharded
     from .search import bank_line_table
     from .optimize_kernel import kernel_supported, cap_bucket
 
@@ -495,9 +497,11 @@ def _genpairs_batch_arrays(searcher, optimizer, featuremaps, bank, arrs,
         n_real[i] = a.shape[0]
 
     # template-axis chunks bound the candidate tensor per dispatch
+    n_dp = mesh.shape.get("scene", 1) if mesh is not None else 1
     pair_budget = _PAIR_CHUNK * (4 if use_kernel else 1)
     n_chunks = -(-s_total // scene_chunk)
     s_chunk = -(-s_total // max(n_chunks, 1))
+    s_chunk = -(-s_chunk // n_dp) * n_dp
     max_pairs = max(pair_budget // max(s_chunk, 1), mt * ms)
     t_chunk = max(1, max_pairs // (mt * ms))
     t_chunk = min(t_chunk, t_count)
@@ -515,18 +519,24 @@ def _genpairs_batch_arrays(searcher, optimizer, featuremaps, bank, arrs,
         parts = []
         for t0 in range(0, t_count, t_chunk):
             t1 = min(t0 + t_chunk, t_count)
-            items = int(2 * mt * ms * counts[t0:t1].sum()) * s_chunk + s_chunk
+            k_sh = max(s_chunk // n_dp, 1)      # scenes per device
+            items = int(2 * mt * ms * counts[t0:t1].sum()) * k_sh + k_sh
             kk = min(top_k, 2 * (t1 - t0) * mt * ms)
-            parts.append((t0, kk, _search_device_batch_topk_genpairs(
-                bank.lines[t0:t1], bank.mask[t0:t1],
-                jnp.asarray(top_vals[t0:t1]), jnp.asarray(ord_t[t0:t1]),
-                jnp.asarray(rank_ok[t0:t1]), sub_scene, sub_n, sub_dt3,
-                featuremaps.angles, sub_tr, sub_fs, lengths_dev[t0:t1], tau,
-                annulus, lmax=lmax, hw=(ph, pw), mode=mode,
-                window=max(window, 1), dense_steps=dense_steps, k=kk, ms=ms,
-                use_kernel=use_kernel,
-                items_cap=cap_bucket(items) if use_kernel else None,
-                has_annulus=has_annulus)))
+            static = dict(lmax=lmax, hw=(ph, pw), mode=mode,
+                          window=max(window, 1), dense_steps=dense_steps,
+                          k=kk, ms=ms, use_kernel=use_kernel,
+                          items_cap=cap_bucket(items) if use_kernel else None,
+                          has_annulus=has_annulus)
+            args = (bank.lines[t0:t1], bank.mask[t0:t1],
+                    jnp.asarray(top_vals[t0:t1]), jnp.asarray(ord_t[t0:t1]),
+                    jnp.asarray(rank_ok[t0:t1]), sub_scene, sub_n, sub_dt3,
+                    featuremaps.angles, sub_tr, sub_fs, lengths_dev[t0:t1],
+                    tau, annulus)
+            if mesh is not None and n_dp > 1:
+                dev = _genpairs_topk_sharded(mesh, *args, **static)
+            else:
+                dev = _search_device_batch_topk_genpairs(*args, **static)
+            parts.append((t0, kk, dev))
         dispatches.append((idx, parts))
 
     out = [None] * s_total

@@ -113,3 +113,30 @@ def test_match_many_devpairs_equals_host():
             rtol=1e-6, atol=1e-8)
         assert sorted((round(m.score, 6), m.tmpl_idx) for m in h) == \
             sorted((round(m.score, 6), m.tmpl_idx) for m in d)
+
+
+def test_match_many_devpairs_scene_mesh():
+    from openfdcm_tpu.parallel import make_mesh
+    templates = [np.asarray(create_lines(4 + (i % 5), 40.0 + 10.0 * (i % 3)))
+                 for i in range(8)]
+    scenes = []
+    for j in range(6):
+        mat = np.concatenate([make_rotation(0.3 * j),
+                              np.full((2, 1), 5.0 + j, np.float32)], axis=1)
+        scenes.append(apply_transform(templates[j % 8], mat))
+    params = of.Dt3Params(4, 5.0, 2.2, of.Distance.L2)
+    lengths = of.get_template_lengths(templates)
+    kw = dict(penalty=of.ExponentialPenalty(1.5), template_lengths=lengths,
+              top_k=5)
+    single = of.match_many(scenes, templates, params, of.DefaultSearch(4, 10),
+                           of.BatchOptimize(10), **kw)
+    mesh = make_mesh(shape=(2,), axis_names=("scene",))
+    meshed = of.match_many(scenes, templates, params, of.DefaultSearch(4, 10),
+                           of.BatchOptimize(10), mesh=mesh, **kw)
+    for h, d in zip(single, meshed):
+        assert len(h) == len(d) > 0
+        np.testing.assert_allclose(
+            sorted(m.score for m in h), sorted(m.score for m in d),
+            rtol=1e-5, atol=1e-7)
+        assert sorted((round(m.score, 5), m.tmpl_idx) for m in h) == \
+            sorted((round(m.score, 5), m.tmpl_idx) for m in d)
