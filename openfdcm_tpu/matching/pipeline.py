@@ -161,6 +161,8 @@ def match_many(scenes, templates, params: fm.Dt3Params, searcher, optimizer,
             else geo.get_template_lengths(bank.host), np.float32)
     buckets = {}
     for i, a in enumerate(arrs):
+        if a.shape[0] == 0:
+            continue                       # zero-line scene: no matches
         _, (w, h) = fm.scene_centered_translation(a, params.padding)
         key = -(-max(w, h) // pad_to) * pad_to
         buckets.setdefault(key, []).append(i)
@@ -214,7 +216,7 @@ def match_many(scenes, templates, params: fm.Dt3Params, searcher, optimizer,
                     and bank.lengths_np is not None and len(bank.host) > 0
                     and os.environ.get("OPENFDCM_TPU_DEVPAIRS", "1") != "0")
 
-    out = [None] * len(scenes)
+    out = [[] for _ in scenes]
     for key in sorted(buckets):
         idxs = buckets[key]
         group = [scenes[i] for i in idxs]

@@ -140,3 +140,18 @@ def test_match_many_devpairs_scene_mesh():
             rtol=1e-5, atol=1e-7)
         assert sorted((round(m.score, 5), m.tmpl_idx) for m in h) == \
             sorted((round(m.score, 5), m.tmpl_idx) for m in d)
+
+
+def test_match_many_empty_scene():
+    templates = [np.asarray(create_lines(5, 40.0))]
+    scenes = [np.zeros((0, 4), np.float32), templates[0] + np.float32(3.0)]
+    for flag in ("1", "0"):
+        os.environ["OPENFDCM_TPU_DEVPAIRS"] = flag
+        try:
+            res = of.match_many(scenes, templates,
+                                of.Dt3Params(4, 5.0, 2.2, of.Distance.L2),
+                                of.DefaultSearch(4, 10), of.BatchOptimize(10),
+                                top_k=3)
+        finally:
+            os.environ.pop("OPENFDCM_TPU_DEVPAIRS", None)
+        assert res[0] == [] and len(res[1]) > 0
