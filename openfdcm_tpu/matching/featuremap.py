@@ -487,9 +487,14 @@ def evaluate(featuremap: Dt3Featuremap, templates, translations):
         return []
     d, ph, pw = featuremap.dt3.shape
     flat = featuremap.dt3.reshape(-1)
-    tmpls = [geo.as_lines_np(t) for t in templates]
-    trs_np = [np.asarray(t, np.float32).reshape(-1, 2) for t in translations]
+    # zip semantics like the original per-template loop: extra templates
+    # (or extra translation lists) beyond the shorter input are dropped.
+    pairs = list(zip(templates, translations))
+    tmpls = [geo.as_lines_np(t) for t, _ in pairs]
+    trs_np = [np.asarray(tr, np.float32).reshape(-1, 2) for _, tr in pairs]
     n = len(tmpls)
+    if n == 0:
+        return []
     lmax = -(-max(max((t.shape[0] for t in tmpls), default=1), 1) // 4) * 4
     kmax = -(-max(max((t.shape[0] for t in trs_np), default=1), 1) // 4) * 4
     lines = np.zeros((n, lmax, 4), np.float32)

@@ -274,24 +274,43 @@ def _search_device_batch_topk_genpairs(tmpl_lines, tmpl_mask, top_vals, ord_t,
             jnp.take_along_axis(valid, idx, axis=1))
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=128)
+def _genpairs_sharded_cached(mesh, axis, statics):
+    """Cached jitted shard_map for :func:`_genpairs_topk_sharded` — built
+    once per (mesh, static config); all arrays are explicit args so the
+    jit cache hits across chunk dispatches (a fresh closure per call would
+    re-trace every chunk)."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    kw = dict(statics)
+
+    def local(tl, tm, tv, ot, ro, sc, nr, dt, ang, tr, fsz, ln, tau, ann):
+        return _search_device_batch_topk_genpairs(
+            tl, tm, tv, ot, ro, sc, nr, dt, ang, tr, fsz, ln, tau, ann,
+            **kw)
+
+    pa = P(axis)
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(), P(), P(), P(), P(), pa, pa, pa, P(), pa,
+                             pa, P(), P(), P()),
+                   out_specs=(pa,) * 4, check_vma=False)
+    return jax.jit(fn)
+
+
 def _genpairs_topk_sharded(mesh, tmpl_lines, tmpl_mask, top_vals, ord_t,
                            rank_ok, scenes, n_real, dt3_flat, angles,
                            scene_tr, feature_size, lengths, tau, annulus,
                            *, axis="scene", **static):
     """Scene-data-parallel :func:`_search_device_batch_topk_genpairs`: each
     device generates pairs for and scores its own scene shard; the bank
-    tables are replicated (closed over).  No cross-device collectives."""
-    from jax.sharding import PartitionSpec as P
-    from jax import shard_map
-
-    def local(sc, nr, dt, tr, fsz):
-        return _search_device_batch_topk_genpairs(
-            tmpl_lines, tmpl_mask, top_vals, ord_t, rank_ok, sc, nr, dt,
-            angles, tr, fsz, lengths, tau, annulus, **static)
-
-    fn = shard_map(local, mesh=mesh, in_specs=(P(axis),) * 5,
-                   out_specs=(P(axis),) * 4, check_vma=False)
-    return jax.jit(fn)(scenes, n_real, dt3_flat, scene_tr, feature_size)
+    tables are replicated.  No cross-device collectives."""
+    fn = _genpairs_sharded_cached(mesh, axis, tuple(sorted(static.items())))
+    return fn(tmpl_lines, tmpl_mask, top_vals, ord_t, rank_ok, scenes,
+              n_real, dt3_flat, angles, scene_tr, feature_size, lengths,
+              jnp.float32(tau), annulus)
 
 
 def _search_device_batch_topk_sharded(mesh, tmpl_lines, tmpl_mask, pair_t,
@@ -310,27 +329,38 @@ def _search_device_batch_topk_sharded(mesh, tmpl_lines, tmpl_mask, pair_t,
     top-k — the integrated form of :func:`openfdcm_tpu.parallel.global_topk`.
     Only ``(S, k)``-sized results ever leave the device mesh.
     """
+    fn = _topk_sharded_cached(
+        mesh, scene_axis, cand_axis,
+        (("lmax", lmax), ("hw", hw), ("mode", mode), ("window", window),
+         ("dense_steps", dense_steps), ("k", k), ("use_kernel", use_kernel),
+         ("items_cap", items_cap)))
+    return fn(tmpl_lines, tmpl_mask, pair_t, pair_tl, pair_sl, scenes,
+              dt3_flat, angles, scene_tr, feature_size, lengths,
+              jnp.float32(tau), pair_valid)
+
+
+@functools.lru_cache(maxsize=128)
+def _topk_sharded_cached(mesh, scene_axis, cand_axis, statics):
+    """Cached jitted shard_map for :func:`_search_device_batch_topk_sharded`
+    (fresh closures would re-trace every chunk dispatch)."""
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
-
+    kw = dict(statics)
+    k = kw.pop("k")
     n_cand = mesh.shape.get(cand_axis, 1) if cand_axis in mesh.axis_names else 1
-    c_total = 2 * pair_t.shape[1]
-    kk = min(k, c_total // max(n_cand, 1))
 
-    def local(pt, ptl, psl, sc, dt, tr, fs, pv):
+    def local(tl, tm, pt, ptl, psl, sc, dt, ang, tr, fs, ln, tau, pv):
         scores, mats, valid = _search_device_batch(
-            tmpl_lines, tmpl_mask, pt, ptl, psl, sc, dt, angles, tr, fs,
-            lmax=lmax, hw=hw, mode=mode, window=window,
-            dense_steps=dense_steps, use_kernel=use_kernel,
-            items_cap=items_cap)
+            tl, tm, pt, ptl, psl, sc, dt, ang, tr, fs, **kw)
         tmpl_of_cand = jnp.repeat(pt, 2, axis=1)
         pen = jnp.where(jnp.isnan(tau), 1.0,
-                        jnp.power(jnp.maximum(lengths[tmpl_of_cand], 1e-6),
+                        jnp.power(jnp.maximum(ln[tmpl_of_cand], 1e-6),
                                   tau))
         pscores = scores / pen
         masked = jnp.where(valid & jnp.repeat(pv, 2, axis=1), pscores,
                            jnp.inf)
         c_local = masked.shape[1]
+        kk = min(k, c_local)
         neg_top, idx = jax.lax.top_k(-masked, kk)     # ties -> lowest idx
         mats_k = jnp.take_along_axis(mats, idx[..., None, None], axis=1)
         valid_k = jnp.take_along_axis(valid, idx, axis=1)
@@ -345,23 +375,24 @@ def _search_device_batch_topk_sharded(mesh, tmpl_lines, tmpl_mask, pair_t,
         s_loc = av.shape[0]
         fv = av.reshape(s_loc, -1)
         fi = ai.reshape(s_loc, -1)
-        order = jnp.lexsort((fi, fv))[:, :kk]
+        # after the gather the device holds n_cand*kk candidates — return
+        # min(k, n_cand*kk) of them, not the per-device kk
+        order = jnp.lexsort((fi, fv))[:, : min(k, n_cand * kk)]
         return (jnp.take_along_axis(fv, order, axis=1),
                 jnp.take_along_axis(am.reshape(s_loc, -1, 2, 3),
                                     order[..., None, None], axis=1),
                 jnp.take_along_axis(fi, order, axis=1),
                 jnp.take_along_axis(avl.reshape(s_loc, -1), order, axis=1))
 
-    sa = scene_axis
+    sa = scene_axis if scene_axis in mesh.axis_names else None
     pair_spec = P(sa, cand_axis) if n_cand > 1 else P(sa)
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(pair_spec, pair_spec, pair_spec, P(sa), P(sa), P(sa),
-                  P(sa), pair_spec),
+        in_specs=(P(), P(), pair_spec, pair_spec, pair_spec, P(sa), P(sa),
+                  P(), P(sa), P(sa), P(), P(), pair_spec),
         out_specs=(P(sa),) * 4,
         check_vma=False)
-    return jax.jit(fn)(pair_t, pair_tl, pair_sl, scenes, dt3_flat,
-                       scene_tr, feature_size, pair_valid)
+    return jax.jit(fn)
 
 
 def _search_device_batch_sharded(mesh, tmpl_lines, tmpl_mask, pair_t, pair_tl,
@@ -375,29 +406,41 @@ def _search_device_batch_sharded(mesh, tmpl_lines, tmpl_mask, pair_t, pair_tl,
 
     ``use_kernel``: each device runs the Pallas window-kernel optimizer on
     its local scene shard (``items_cap`` is the per-device item bound)."""
+    fn = _batch_sharded_cached(
+        mesh, axis,
+        (("lmax", lmax), ("hw", hw), ("mode", mode), ("window", window),
+         ("dense_steps", dense_steps), ("use_kernel", use_kernel),
+         ("items_cap", items_cap)))
+    return fn(tmpl_lines, tmpl_mask, pair_t, pair_tl, pair_sl, scenes,
+              dt3_flat, angles, scene_tr, feature_size)
+
+
+@functools.lru_cache(maxsize=128)
+def _batch_sharded_cached(mesh, axis, statics):
+    """Cached jitted shard_map for :func:`_search_device_batch_sharded`."""
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
+    kw = dict(statics)
+    use_kernel = kw["use_kernel"]
 
-    def local(pt, ptl, psl, sc, dt, tr, fs):
+    def local(tl, tm, pt, ptl, psl, sc, dt, ang, tr, fs):
         if use_kernel:
-            return _search_device_batch(
-                tmpl_lines, tmpl_mask, pt, ptl, psl, sc, dt, angles, tr, fs,
-                lmax=lmax, hw=hw, mode=mode, window=window,
-                dense_steps=dense_steps, use_kernel=True,
-                items_cap=items_cap)
+            return _search_device_batch(tl, tm, pt, ptl, psl, sc, dt, ang,
+                                        tr, fs, **kw)
 
         def one(pt1, ptl1, psl1, sc1, dt1, tr1, fs1):
-            return _search_core(tmpl_lines, tmpl_mask, pt1, ptl1, psl1, sc1,
-                                dt1, angles, tr1, fs1, lmax=lmax, hw=hw,
-                                mode=mode, window=window,
-                                dense_steps=dense_steps)
+            return _search_core(tl, tm, pt1, ptl1, psl1, sc1, dt1, ang,
+                                tr1, fs1, lmax=kw["lmax"], hw=kw["hw"],
+                                mode=kw["mode"], window=kw["window"],
+                                dense_steps=kw["dense_steps"])
         return jax.vmap(one)(pt, ptl, psl, sc, dt, tr, fs)
 
     fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(axis),) * 7, out_specs=(P(axis),) * 3,
+                   in_specs=(P(), P()) + (P(axis),) * 5 + (P(),)
+                   + (P(axis),) * 2,
+                   out_specs=(P(axis),) * 3,
                    check_vma=False)
-    return jax.jit(fn)(pair_t, pair_tl, pair_sl, scenes, dt3_flat,
-                       scene_tr, feature_size)
+    return jax.jit(fn)
 
 
 def search(matcher, searcher, optimizer, featuremap: fm.Dt3Featuremap,

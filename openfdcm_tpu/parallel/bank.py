@@ -131,10 +131,12 @@ def match_many_bank_sharded(scenes, templates, params, searcher, optimizer,
         scene_chunk = 8 * n_sc
     scene_chunk = max(n_sc, (scene_chunk // n_sc) * n_sc)
 
-    out = [None] * s_total
-    for lo in range(0, s_total, scene_chunk):
-        idx = list(range(lo, min(lo + scene_chunk, s_total)))
-        pad_idx = idx + [lo] * (-len(idx) % n_sc)
+    # zero-line scenes produce no matches (same contract as match_many)
+    out = [[] for _ in scenes]
+    live = [i for i, a in enumerate(arrs) if a.shape[0] > 0]
+    for lo in range(0, len(live), scene_chunk):
+        idx = live[lo: lo + scene_chunk]
+        pad_idx = idx + [idx[0]] * (-len(idx) % n_sc)
         res = _dispatch_chunk(
             [scenes[i] for i in pad_idx], [arrs[i] for i in pad_idx],
             searcher, optimizer, params, mesh, shards, lines_dev, mask_dev,
@@ -182,60 +184,28 @@ def _dispatch_chunk(group, arrs, searcher, optimizer, params, mesh, shards,
         caps = []
         for s0 in range(0, s_count, k_sh):
             for b in range(n_bank):
+                # padded pair slots alias shard-local template 0 and emit
+                # kernel items like any other candidate — count them, or
+                # the capped item stream truncates REAL items (silently
+                # corrupting scores for the highest-sid scenes).
                 blk = pair_arr[s0: s0 + k_sh, b * pb: (b + 1) * pb]
-                v = pair_valid[s0: s0 + k_sh, b * pb: (b + 1) * pb]
-                caps.append(2 * int(counts[b * t_shard + blk[..., 0]][v].sum())
+                caps.append(2 * int(counts[b * t_shard + blk[..., 0]].sum())
                             + k_sh)
         items_cap = cap_bucket(max(caps))
 
-    kk = min(top_k, 2 * pb)
-
-    def local(lines_l, mask_l, pt, ptl, psl, sc, dt, tr, fsz, pv, tln):
-        scores, mats, valid = _search_device_batch(
-            lines_l, mask_l, pt, ptl, psl, sc, dt, fms.angles, tr,
-            fsz, lmax=lmax, hw=(ph, pw), mode=mode, window=max(window, 1),
-            dense_steps=dense_steps, use_kernel=use_kernel,
-            items_cap=items_cap)
-        tof = jnp.repeat(pt, 2, axis=1)                    # local tmpl ids
-        pen = jnp.where(jnp.isnan(tau), 1.0,
-                        jnp.power(jnp.maximum(tln[tof], 1e-6), tau))
-        masked = jnp.where(valid & jnp.repeat(pv, 2, axis=1),
-                           scores / pen, jnp.inf)
-        neg_top, idx = jax.lax.top_k(-masked, kk)          # ties -> low idx
-        mats_k = jnp.take_along_axis(mats, idx[..., None, None], axis=1)
-        b = jax.lax.axis_index(bank_axis)
-        tmpl_k = jnp.take_along_axis(tof, idx, axis=1) + b * t_shard
-        gidx = idx + b * (2 * pb)
-        if n_bank == 1:
-            return -neg_top, mats_k, tmpl_k, gidx
-        av = jax.lax.all_gather(-neg_top, bank_axis, axis=1)
-        am = jax.lax.all_gather(mats_k, bank_axis, axis=1)
-        at = jax.lax.all_gather(tmpl_k, bank_axis, axis=1)
-        ai = jax.lax.all_gather(gidx, bank_axis, axis=1)
-        s_loc = av.shape[0]
-        fv, fi = av.reshape(s_loc, -1), ai.reshape(s_loc, -1)
-        order = jnp.lexsort((fi, fv))[:, :kk]
-        return (jnp.take_along_axis(fv, order, axis=1),
-                jnp.take_along_axis(am.reshape(s_loc, -1, 2, 3),
-                                    order[..., None, None], axis=1),
-                jnp.take_along_axis(at.reshape(s_loc, -1), order, axis=1),
-                jnp.take_along_axis(fi, order, axis=1))
-
-    ba = bank_axis
-    sa = scene_axis if scene_axis in mesh.axis_names else None
-    psa, psb = P(sa), P(sa, ba)
-    fn = shard_map(
-        local, mesh=mesh,
-        in_specs=(P(ba), P(ba), psb, psb, psb, psa,
-                  psa, psa, psa, psb, P(ba)),
-        out_specs=(psa,) * 4,
-        check_vma=False)
-    sk, mk, tk, gk = jax.jit(fn)(
+    fn = _bank_sharded_cached(
+        mesh, scene_axis if scene_axis in mesh.axis_names else None,
+        bank_axis,
+        (("lmax", lmax), ("hw", (ph, pw)), ("mode", mode),
+         ("window", max(window, 1)), ("dense_steps", dense_steps),
+         ("use_kernel", use_kernel), ("items_cap", items_cap),
+         ("top_k", top_k), ("t_shard", t_shard), ("pb", pb)))
+    sk, mk, tk, gk = fn(
         lines_dev, mask_dev, jnp.asarray(pair_arr[:, :, 0]),
         jnp.asarray(pair_arr[:, :, 1]), jnp.asarray(pair_arr[:, :, 2]),
-        jnp.asarray(scene_arr), fms.dt3.reshape(s_count, -1),
+        jnp.asarray(scene_arr), fms.dt3.reshape(s_count, -1), fms.angles,
         fms.scene_translations, jnp.asarray(fs), jnp.asarray(pair_valid),
-        tlen_dev)
+        tlen_dev, jnp.float32(tau))
     sk, mk, tk = np.asarray(sk), np.asarray(mk), np.asarray(tk)
 
     out = []
@@ -248,3 +218,56 @@ def _dispatch_chunk(group, arrs, searcher, optimizer, params, mesh, shards,
                                  mk[i, j].copy()))
         out.append(matches[:top_k])
     return out
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _bank_sharded_cached(mesh, sa, ba, statics):
+    """Cached jitted shard_map for the bank-sharded search (a fresh closure
+    per chunk would re-trace every dispatch)."""
+    kw = dict(statics)
+    top_k, t_shard, pb = kw.pop("top_k"), kw.pop("t_shard"), kw.pop("pb")
+    n_bank = mesh.shape[ba]
+    kk = min(top_k, 2 * pb)
+
+    def local(lines_l, mask_l, pt, ptl, psl, sc, dt, ang, tr, fsz, pv, tln,
+              tau):
+        scores, mats, valid = _search_device_batch(
+            lines_l, mask_l, pt, ptl, psl, sc, dt, ang, tr, fsz, **kw)
+        tof = jnp.repeat(pt, 2, axis=1)                    # local tmpl ids
+        pen = jnp.where(jnp.isnan(tau), 1.0,
+                        jnp.power(jnp.maximum(tln[tof], 1e-6), tau))
+        masked = jnp.where(valid & jnp.repeat(pv, 2, axis=1),
+                           scores / pen, jnp.inf)
+        neg_top, idx = jax.lax.top_k(-masked, kk)          # ties -> low idx
+        mats_k = jnp.take_along_axis(mats, idx[..., None, None], axis=1)
+        b = jax.lax.axis_index(ba)
+        tmpl_k = jnp.take_along_axis(tof, idx, axis=1) + b * t_shard
+        gidx = idx + b * (2 * pb)
+        if n_bank == 1:
+            return -neg_top, mats_k, tmpl_k, gidx
+        av = jax.lax.all_gather(-neg_top, ba, axis=1)
+        am = jax.lax.all_gather(mats_k, ba, axis=1)
+        at = jax.lax.all_gather(tmpl_k, ba, axis=1)
+        ai = jax.lax.all_gather(gidx, ba, axis=1)
+        s_loc = av.shape[0]
+        fv, fi = av.reshape(s_loc, -1), ai.reshape(s_loc, -1)
+        # after the gather the device holds n_bank*kk candidates — return
+        # min(top_k, n_bank*kk) of them, not the per-device kk
+        order = jnp.lexsort((fi, fv))[:, : min(top_k, n_bank * kk)]
+        return (jnp.take_along_axis(fv, order, axis=1),
+                jnp.take_along_axis(am.reshape(s_loc, -1, 2, 3),
+                                    order[..., None, None], axis=1),
+                jnp.take_along_axis(at.reshape(s_loc, -1), order, axis=1),
+                jnp.take_along_axis(fi, order, axis=1))
+
+    psa, psb = P(sa), P(sa, ba)
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(ba), P(ba), psb, psb, psb, psa,
+                  psa, P(), psa, psa, psb, P(ba), P()),
+        out_specs=(psa,) * 4,
+        check_vma=False)
+    return jax.jit(fn)

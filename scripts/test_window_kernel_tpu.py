@@ -72,8 +72,12 @@ def check_exactness(verbose=True) -> int:
                       jnp.where(theta < -jnp.pi / 2, theta + jnp.pi, theta))
     slice_idx = fm.closest_orientation_idx(angles, theta)
 
-    kout, tc = jax.jit(wk.window_scores)(dt3, scene_tr, cand_lines, cand_mask,
-                                         rast, valid, slice_idx)
+    # Exercise the SAME kernel version production uses (v3 by default) —
+    # a v3-specific Mosaic crash or mismatch must not hide behind v2.
+    from openfdcm_tpu.matching.optimize_kernel import KERNEL_VERSION
+    entry = wk.window_scores_v3 if KERNEL_VERSION == 3 else wk.window_scores
+    kout, tc = jax.jit(entry)(dt3, scene_tr, cand_lines, cand_mask,
+                              rast, valid, slice_idx)
     xout = jax.jit(xla_window)(dt3, scene_tr, cand_lines, cand_mask, rast,
                                valid, slice_idx)
     kout = np.asarray(kout)
@@ -115,7 +119,9 @@ def main():
         theta = jnp.where(theta >= jnp.pi / 2, theta - jnp.pi,
                           jnp.where(theta < -jnp.pi / 2, theta + jnp.pi, theta))
         slice_idx = fm.closest_orientation_idx(angles, theta)
-        f = jax.jit(wk.window_scores)
+        from openfdcm_tpu.matching.optimize_kernel import KERNEL_VERSION
+        entry = wk.window_scores_v3 if KERNEL_VERSION == 3 else wk.window_scores
+        f = jax.jit(entry)
         r = f(dt3, scene_tr, cand_lines, cand_mask, rast, valid, slice_idx)
         jax.block_until_ready(r)
         float(jnp.sum(r[0]))

@@ -97,3 +97,32 @@ def test_prepare_bank_shards_padding():
     # real template rows preserved
     t0 = np.asarray(templates[0], np.float32)
     np.testing.assert_array_equal(sh["lines"][0, : t0.shape[0]], t0)
+
+
+def test_bank_sharded_empty_scene():
+    templates, scenes = _bank_and_scenes(n_tmpl=6, n_scenes=2)
+    scenes = [np.zeros((0, 4), np.float32)] + scenes
+    mesh = make_mesh(shape=(4,), axis_names=("bank",))
+    res = match_many_bank_sharded(
+        scenes, templates, of.Dt3Params(4, 5.0, 2.2, of.Distance.L2),
+        of.DefaultSearch(4, 10), of.BatchOptimize(10), mesh=mesh, top_k=3)
+    assert res[0] == [] and all(len(r) > 0 for r in res[1:])
+
+
+def test_bank_sharded_topk_wider_than_shard():
+    # top_k exceeding one shard's local candidate width must still return
+    # min(top_k, total) matches after the all_gather re-rank.
+    templates, scenes = _bank_and_scenes(n_tmpl=8, n_scenes=1)
+    params = of.Dt3Params(4, 5.0, 2.2, of.Distance.L2)
+    k = 60
+    single = of.match_many(scenes, templates, params, of.DefaultSearch(4, 10),
+                           of.BatchOptimize(10), top_k=k)
+    mesh = make_mesh(shape=(4,), axis_names=("bank",))
+    banked = match_many_bank_sharded(
+        scenes, templates, params, of.DefaultSearch(4, 10),
+        of.BatchOptimize(10), mesh=mesh, top_k=k)
+    assert len(banked[0]) == len(single[0])
+    np.testing.assert_allclose(
+        np.asarray(sorted(m.score for m in single[0]), np.float32),
+        np.asarray(sorted(m.score for m in banked[0]), np.float32),
+        rtol=1e-5, atol=1e-7)

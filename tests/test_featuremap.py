@@ -216,3 +216,15 @@ def test_evaluate_matches_direct_lookup():
     b = (tmpl[0, 2:] + tr).astype(int)
     expect = abs(f[a[1], a[0]] - f[b[1], b[0]])
     assert np.isclose(scores[0][0], expect, atol=1e-5)
+
+
+def test_evaluate_zip_truncation():
+    """evaluate() drops extra templates/translations beyond the shorter
+    list, like the reference's per-template zip loop (regression: the
+    batched rewrite raised IndexError)."""
+    tmpl = np.asarray([[0.0, 0.0, 5.0, 0.0]], np.float32)
+    feat = fmap.build_featuremap(tmpl, fmap.Dt3Params(4, 5.0, 2.2))
+    out = fmap.evaluate(feat, [tmpl, tmpl], [[(0.0, 0.0)]])
+    assert len(out) == 1 and len(out[0]) == 1
+    out2 = fmap.evaluate(feat, [tmpl], [[(0.0, 0.0)], [(1.0, 1.0)]])
+    assert len(out2) == 1

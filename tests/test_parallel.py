@@ -93,3 +93,28 @@ def test_global_topk_across_shards():
     order = np.lexsort((np.arange(c), masked))[:8]
     np.testing.assert_array_equal(idx, order)
     np.testing.assert_allclose(vals, masked[order])
+
+
+def test_cand_mesh_topk_wider_than_shard():
+    """match_many on a cand-only mesh with top_k > per-shard width must
+    return min(top_k, total) matches (regression: per-device kk used to
+    truncate the merged result)."""
+    tmpl, scene, fm = _setup()
+    mesh = make_mesh(shape=(8,), axis_names=("cand",))
+    k = 30
+    single = of.match_many([scene], [tmpl, tmpl], of.Dt3Params(4, 5.0, 2.2),
+                           of.DefaultSearch(4, 10), of.BatchOptimize(10),
+                           top_k=k)
+    import os
+    os.environ["OPENFDCM_TPU_DEVPAIRS"] = "0"   # force the host-pair path
+    try:
+        meshed = of.match_many([scene], [tmpl, tmpl],
+                               of.Dt3Params(4, 5.0, 2.2),
+                               of.DefaultSearch(4, 10), of.BatchOptimize(10),
+                               top_k=k, mesh=mesh)
+    finally:
+        os.environ.pop("OPENFDCM_TPU_DEVPAIRS", None)
+    assert len(meshed[0]) == len(single[0]) == k
+    np.testing.assert_allclose(
+        sorted(m.score for m in single[0]),
+        sorted(m.score for m in meshed[0]), rtol=1e-5, atol=1e-7)
