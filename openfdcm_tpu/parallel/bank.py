@@ -47,6 +47,11 @@ def prepare_bank_shards(templates, n_bank: int):
     real template count ``t_real``.  Shard ``b`` owns rows
     ``[b*t_shard, (b+1)*t_shard)``; padding templates are empty (count 0)
     and generate no pairs.
+
+    Deliberately does NOT reuse :func:`matching.match.prepare_templates`:
+    that uploads the full bank to ONE device, which is exactly what bank
+    sharding exists to avoid (a 1M-template bank's line tensor is ~0.5 GB)
+    — these stay host numpy until the sharded ``device_put``.
     """
     tmpls = [geo.as_lines_np(t) if np.asarray(t).size else
              np.zeros((0, 4), np.float32) for t in templates]
