@@ -33,6 +33,7 @@ from .matching.match import (
 from .matching.pipeline import (
     Dt3FeaturemapBatch, build_featuremap_batch, search_batch, match_many,
 )
+from .sweep import resumable_sweep, SweepState
 
 # Reference spells the enum `openfdcm.distance`.
 distance = Distance
@@ -51,6 +52,7 @@ __all__ = [
     "ExponentialPenalty", "penalize", "Match", "DefaultMatch", "search",
     "sort_matches", "TemplateBank", "prepare_templates", "geometry", "io",
     "Dt3FeaturemapBatch", "build_featuremap_batch", "search_batch", "match_many",
+    "resumable_sweep", "SweepState",
     "OpenFDCMError", "PointOutOfBound", "ImgProcError", "utils",
     "enable_compilation_cache",
 ]

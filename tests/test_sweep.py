@@ -1,0 +1,101 @@
+"""Resumable sweep: chunked + interrupted runs must equal one
+``match_many`` over the whole bank."""
+import numpy as np
+import pytest
+
+import openfdcm_tpu as of
+from openfdcm_tpu.sweep import resumable_sweep, SweepState
+from tests.utils import create_lines, make_rotation, apply_transform
+
+
+def _setup(n_tmpl=9, n_scenes=3):
+    templates = [np.asarray(create_lines(4 + (i % 4), 40.0 + 8.0 * (i % 3)))
+                 for i in range(n_tmpl)]
+    scenes = []
+    for j in range(n_scenes):
+        mat = np.concatenate([make_rotation(0.25 * j),
+                              np.full((2, 1), 4.0 + j, np.float32)], axis=1)
+        scenes.append(apply_transform(templates[j % n_tmpl], mat))
+    return templates, scenes
+
+
+PARAMS = of.Dt3Params(4, 5.0, 2.2, of.Distance.L2)
+
+
+def _full(scenes, templates, k):
+    return of.match_many(scenes, templates, PARAMS, of.DefaultSearch(4, 10),
+                         of.BatchOptimize(10),
+                         penalty=of.ExponentialPenalty(1.5),
+                         template_lengths=of.get_template_lengths(templates),
+                         top_k=k)
+
+
+def _assert_equal(a, b):
+    for x, y in zip(a, b):
+        assert len(x) == len(y)
+        np.testing.assert_allclose(
+            sorted(m.score for m in x), sorted(m.score for m in y),
+            rtol=1e-5, atol=1e-7)
+        assert sorted((round(m.score, 5), m.tmpl_idx) for m in x) == \
+            sorted((round(m.score, 5), m.tmpl_idx) for m in y)
+
+
+def test_sweep_equals_match_many(tmp_path):
+    templates, scenes = _setup()
+    k = 5
+    full = _full(scenes, templates, k)
+    swept = resumable_sweep(
+        scenes, templates, PARAMS, of.DefaultSearch(4, 10),
+        of.BatchOptimize(10), top_k=k, state_dir=str(tmp_path / "s1"),
+        penalty=of.ExponentialPenalty(1.5),
+        template_lengths=of.get_template_lengths(templates), chunk_size=4)
+    _assert_equal(full, swept)
+
+
+def test_sweep_resumes_after_kill(tmp_path):
+    templates, scenes = _setup()
+    k = 4
+    state_dir = str(tmp_path / "s2")
+    calls = []
+
+    class Boom(RuntimeError):
+        pass
+
+    def dying_match(scene_list, chunk_templates, chunk_lengths):
+        calls.append(len(chunk_templates))
+        if len(calls) == 2:
+            raise Boom()          # killed mid-sweep, after one checkpoint
+        return of.match_many(scene_list, chunk_templates, PARAMS,
+                             of.DefaultSearch(4, 10), of.BatchOptimize(10),
+                             penalty=of.ExponentialPenalty(1.5),
+                             template_lengths=chunk_lengths, top_k=k)
+
+    kwargs = dict(top_k=k, state_dir=state_dir,
+                  penalty=of.ExponentialPenalty(1.5),
+                  template_lengths=of.get_template_lengths(templates),
+                  chunk_size=4)
+    with pytest.raises(Boom):
+        resumable_sweep(scenes, templates, PARAMS, of.DefaultSearch(4, 10),
+                        of.BatchOptimize(10), match_fn=dying_match, **kwargs)
+    st = SweepState.load(state_dir)
+    assert st is not None and st.done_chunks == 1
+
+    # resume: chunk 0 must NOT be recomputed
+    calls.clear()
+    swept = resumable_sweep(scenes, templates, PARAMS,
+                            of.DefaultSearch(4, 10), of.BatchOptimize(10),
+                            **kwargs)
+    assert len(calls) == 0          # default match_fn used; chunks 1,2 ran
+    _assert_equal(_full(scenes, templates, k), swept)
+
+
+def test_sweep_rejects_mismatched_state(tmp_path):
+    templates, scenes = _setup(n_tmpl=5)
+    state_dir = str(tmp_path / "s3")
+    resumable_sweep(scenes, templates, PARAMS, of.DefaultSearch(4, 10),
+                    of.BatchOptimize(10), top_k=3, state_dir=state_dir,
+                    chunk_size=2)
+    with pytest.raises(ValueError, match="different"):
+        resumable_sweep(scenes, templates, PARAMS, of.DefaultSearch(4, 10),
+                        of.BatchOptimize(10), top_k=4, state_dir=state_dir,
+                        chunk_size=2)
