@@ -47,31 +47,12 @@ def _kernel_hardware_check() -> int | None:
         return -1
 
 
-def _probe_backend() -> str:
-    """Probe the TPU backend in a SUBPROCESS (a hung axon relay blocks
-    jax.devices() forever and would wedge the whole bench); fall back to
-    CPU with an honest label if the relay is unreachable."""
-    import subprocess
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; d = jax.devices(); "
-             "import sys; sys.exit(0 if d[0].platform != 'cpu' else 3)"],
-            timeout=120, capture_output=True)
-        if r.returncode == 0:
-            return "tpu"
-    except subprocess.TimeoutExpired:
-        pass
-    import jax
-    jax.config.update("jax_platforms", "cpu")
-    print("# WARNING: TPU backend unreachable; falling back to CPU",
-          file=sys.stderr)
-    return "cpu-fallback"
-
-
 def main():
-    backend = _probe_backend()
     import openfdcm_tpu as of
+    backend = of.ensure_backend()
+    if backend == "cpu-fallback":
+        print("# WARNING: TPU backend unreachable; falling back to CPU",
+              file=sys.stderr)
     of.enable_compilation_cache(
         "/root/repo/.jax_cache" if backend == "tpu"
         else "/root/repo/.jax_cache_cpu")

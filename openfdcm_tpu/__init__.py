@@ -54,8 +54,36 @@ __all__ = [
     "Dt3FeaturemapBatch", "build_featuremap_batch", "search_batch", "match_many",
     "resumable_sweep", "SweepState",
     "OpenFDCMError", "PointOutOfBound", "ImgProcError", "utils",
-    "enable_compilation_cache",
+    "enable_compilation_cache", "ensure_backend",
 ]
+
+
+def ensure_backend(timeout_s: float = 120.0) -> str:
+    """Probe the accelerator backend in a SUBPROCESS and fall back to CPU
+    if it is unreachable.
+
+    A dead remote-attached TPU (e.g. a hung relay) blocks ``jax.devices()``
+    forever in-process; probing in a child process bounds the wait.  Call
+    BEFORE any other JAX use.  Returns the backend name ("tpu", "cpu", or
+    "cpu-fallback" when an accelerator was configured but unreachable).
+    """
+    import subprocess
+    import sys as _sys
+    import jax
+    try:
+        r = subprocess.run(
+            [_sys.executable, "-c",
+             "import jax; d = jax.devices(); "
+             "import sys; sys.exit(0 if d[0].platform != 'cpu' else 3)"],
+            timeout=timeout_s, capture_output=True)
+        if r.returncode == 0:
+            return "tpu"
+        if r.returncode == 3:
+            return "cpu"
+    except (subprocess.TimeoutExpired, OSError):
+        pass
+    jax.config.update("jax_platforms", "cpu")
+    return "cpu-fallback"
 
 
 def enable_compilation_cache(path: str | None = None,

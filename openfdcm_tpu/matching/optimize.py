@@ -23,12 +23,16 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import geometry as geo
 from ..core import rasterize as ras
 from . import featuremap as fm
 
-_BIG = jnp.float32(3.0e38)
+# np scalar, not jnp: a module-level jnp constant would initialize the
+# accelerator backend at import time (hanging imports when a remote-attached
+# chip is unreachable); np.float32 promotes identically inside jnp ops.
+_BIG = np.float32(3.0e38)
 
 
 # ---------------------------------------------------------------------------

@@ -47,6 +47,7 @@ def main():
     depth = int(sys.argv[2]) if len(sys.argv) > 2 else 30
 
     import openfdcm_tpu as of
+    of.ensure_backend()
     of.enable_compilation_cache("/root/repo/.jax_cache")
 
     templates = [of.read(p) for p in sorted(

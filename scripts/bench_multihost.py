@@ -30,11 +30,11 @@ def worker(pid: int, nproc: int):
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                                f" --xla_force_host_platform_device_count={DEV_PER_PROC}").strip()
     import jax
-    # distributed.initialize must precede ANY backend-touching call —
-    # including importing openfdcm_tpu (module-level jnp constants), so
-    # call the runtime directly; of.parallel.initialize wraps the same.
-    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{PORT}",
-                               num_processes=nproc, process_id=pid)
+    # importing openfdcm_tpu is backend-free (no module-level jnp
+    # constants), so the library's initialize wrapper is safe here
+    from openfdcm_tpu.parallel import initialize
+    initialize(coordinator_address=f"127.0.0.1:{PORT}",
+               num_processes=nproc, process_id=pid)
     import numpy as np
     import jax.numpy as jnp
     import openfdcm_tpu as of
