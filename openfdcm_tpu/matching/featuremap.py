@@ -437,7 +437,7 @@ def minmax_translation_raw(tmpl: jax.Array, align_vec: jax.Array, size_wh,
 
 def evaluate_batched(dt3_flat: jax.Array, hw: tuple, slice_idx: jax.Array,
                      endpoints: jax.Array, line_mask: jax.Array,
-                     translations: jax.Array) -> jax.Array:
+                     translations: jax.Array, take_fn=None) -> jax.Array:
     """Batched FDCM scoring.
 
     ``dt3_flat``: ``f32[D*H*W]`` flattened feature bank (physical H/W).
@@ -468,7 +468,11 @@ def evaluate_batched(dt3_flat: jax.Array, hw: tuple, slice_idx: jax.Array,
     xi = (ex + tr[:, 0][None, None]).astype(jnp.int32)                 # (2,L,B*K)
     yi = (ey + tr[:, 1][None, None]).astype(jnp.int32)
     base = jnp.repeat(jnp.transpose(si, (1, 0)), k, axis=-1)[None] * (h * w)
-    vals = jnp.take(dt3_flat, base + yi * w + xi, mode="clip")         # (2,L,B*K)
+    # take_fn: pluggable probe gather (the spatially sharded search swaps
+    # in an own-rows gather + psum; must replicate mode="clip" semantics)
+    idx = base + yi * w + xi
+    vals = (jnp.take(dt3_flat, idx, mode="clip") if take_fn is None
+            else take_fn(dt3_flat, idx))                               # (2,L,B*K)
     per_line = jnp.abs(vals[0] - vals[1])                              # (L,B*K)
     lmr = jnp.repeat(jnp.transpose(lm, (1, 0)), k, axis=-1)
     scores = jnp.sum(per_line * lmr, axis=0)                           # (B*K,)

@@ -87,7 +87,7 @@ OptimizerLike = (DefaultOptimize, IndulgentOptimize, BatchOptimize, DenseOptimiz
 # ---------------------------------------------------------------------------
 
 def _window_scores(dt3_flat, hw, slice_idx, endpoints, line_mask, scene_tr,
-                   rast, t0, sign, count):
+                   rast, t0, sign, count, take_fn=None):
     """Scores of each candidate at multipliers ``sign*(t0 + i)``, i<count.
 
     ``endpoints``: ``(C, L, 2, 2)`` aligned-template endpoints (no scene
@@ -96,7 +96,8 @@ def _window_scores(dt3_flat, hw, slice_idx, endpoints, line_mask, scene_tr,
     reference's float op order (``dt3cpu.cpp:153``)."""
     mult = (t0[:, None] + jnp.arange(count, dtype=jnp.float32)[None, :]) * sign  # (C,K)
     trans = scene_tr + mult[..., None] * rast[:, None, :]                        # (C,K,2)
-    return fm.evaluate_batched(dt3_flat, hw, slice_idx, endpoints, line_mask, trans)
+    return fm.evaluate_batched(dt3_flat, hw, slice_idx, endpoints, line_mask,
+                               trans, take_fn=take_fn)
 
 
 def _chain_prefix(scores, prev_kept, valid):
@@ -242,10 +243,12 @@ def _batch_walk(eval_window, t_limit, state, sign, batch):
 # Entry: optimize a batch of aligned candidates
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("hw", "mode", "window", "dense_steps"))
+@partial(jax.jit, static_argnames=("hw", "mode", "window", "dense_steps",
+                                   "take_fn"))
 def optimize_candidates(dt3_flat, angles, scene_tr, hw, feature_size,
                         tmpl_lines, line_mask, align_vecs, *,
-                        mode: str, window: int, dense_steps: int):
+                        mode: str, window: int, dense_steps: int,
+                        take_fn=None):
     """Optimize all candidates at once.
 
     ``tmpl_lines``: ``(C, L, 4)`` aligned templates; ``line_mask``: ``(C, L)``;
@@ -276,12 +279,14 @@ def optimize_candidates(dt3_flat, angles, scene_tr, hw, feature_size,
     def eval_win(sign, count):
         def f(t0):
             return _window_scores(dt3_flat, hw, slice_idx, endpoints, lm,
-                                  scene_tr, safe_rast, t0, sign, count)
+                                  scene_tr, safe_rast, t0, sign, count,
+                                  take_fn=take_fn)
         return f
 
     if mode == "dense":
         s0 = _window_scores(dt3_flat, hw, slice_idx, endpoints, lm, scene_tr,
-                            safe_rast, jnp.zeros(c, jnp.float32), 1.0, 1)[:, 0]
+                            safe_rast, jnp.zeros(c, jnp.float32), 1.0, 1,
+                            take_fn=take_fn)[:, 0]
         win = 64
         best, mul = s0, jnp.zeros(c, jnp.float32)
         for sign, t_lim in ((1.0, t_pos), (-1.0, t_neg)):
@@ -327,7 +332,7 @@ def optimize_candidates(dt3_flat, angles, scene_tr, hw, feature_size,
 
             def f(t0):
                 return _window_scores(dt3_flat, hw, si, ep, lmm, scene_tr,
-                                      sr, t0, sign, count)
+                                      sr, t0, sign, count, take_fn=take_fn)
             return f
 
         # Round schedule: (subset size, window multiplier).  Window widths

@@ -31,6 +31,7 @@ The result is the global ``[D, H, W]`` array sharded ``P(None, axis, None)``
 """
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -50,7 +51,98 @@ from ..matching.featuremap import (
     scene_centered_translation,
 )
 
-__all__ = ["build_featuremap_spatial"]
+__all__ = ["build_featuremap_spatial", "search_spatial"]
+
+
+# ---------------------------------------------------------------------------
+# Search against an H-sharded DT3 (no gather of the volume)
+# ---------------------------------------------------------------------------
+
+def _spatial_take(axis: str, h_loc: int, depth: int, phys_h: int,
+                  phys_w: int):
+    """Probe gather for a ``(D, h_loc, W)`` row block: replicate
+    ``jnp.take(flat, idx, mode="clip")`` on the GLOBAL flat index, fetch
+    owned rows locally, and ``psum`` so every device sees every value
+    (0 + value + 0 ... sums exactly — scores stay bit-faithful)."""
+    hw_full = phys_h * phys_w
+
+    def take(dt3_local_flat, idx):
+        p = jax.lax.axis_index(axis)
+        y0 = p * h_loc
+        idxc = jnp.clip(idx, 0, depth * hw_full - 1)
+        s = idxc // hw_full
+        rem = idxc - s * hw_full
+        y = rem // phys_w
+        x = rem - y * phys_w
+        owned = (y >= y0) & (y < y0 + h_loc)
+        lidx = s * (h_loc * phys_w) + (y - y0) * phys_w + x
+        vals = jnp.take(dt3_local_flat, jnp.where(owned, lidx, 0),
+                        mode="clip")
+        vals = jnp.where(owned, vals, 0.0)
+        return jax.lax.psum(vals, axis)
+
+    return take
+
+
+def search_spatial(searcher, optimizer, featuremap: Dt3Featuremap,
+                   templates, scene, *, mesh: Mesh, axis: str = "rows"):
+    """``matching.search`` against a DT3 whose H axis is sharded over
+    ``mesh[axis]`` (e.g. from :func:`build_featuremap_spatial`) — the
+    volume is never gathered; each device probes its own row block and one
+    ``psum`` per window shares the values.  The walk state is replicated,
+    so all devices run the lockstep chain algebra identically.
+
+    Returns an UNSORTED ``list[Match]`` equal to the single-device
+    ``search`` (scores from identical f32 ops on identical values).
+    """
+    from ..matching.match import Match, prepare_templates, _bucket, \
+        _make_candidates
+    from ..matching import optimize as opt
+    from ..matching.pipeline import _bank_pairs_for_scene
+
+    bank = templates if hasattr(templates, "lmax") else prepare_templates(templates)
+    scene_arr = geo.as_lines_np(scene)
+    if not bank.host or scene_arr.shape[0] == 0 or \
+            featuremap.feature_size == (0, 0):
+        return []
+    pairs = _bank_pairs_for_scene(searcher, bank, scene_arr)
+    if pairs.shape[0] == 0:
+        return []
+    p_real = pairs.shape[0]
+    pb = _bucket(p_real, 64)
+    pairs_padded = np.concatenate(
+        [pairs, np.zeros((pb - p_real, 3), np.int32)])
+    sb = _bucket(scene_arr.shape[0], 128)
+    scene_padded = np.concatenate(
+        [scene_arr, np.zeros((sb - scene_arr.shape[0], 4), np.float32)])
+
+    mode, window = opt.optimizer_mode(optimizer)
+    w, h = featuremap.feature_size
+    dense_steps = opt.dense_step_count(optimizer, max(w, h))
+    depth, ph, pw = featuremap.dt3.shape
+    nblk = int(mesh.shape[axis])
+    h_loc = ph // nblk
+    feature_size = jnp.asarray([float(w), float(h)], jnp.float32)
+    lmax = bank.lmax
+
+    fn = _search_spatial_cached(
+        mesh, axis, (("lmax", lmax), ("depth", depth), ("ph", ph),
+                     ("pw", pw), ("h_loc", h_loc), ("mode", mode),
+                     ("window", max(window, 1)),
+                     ("dense_steps", dense_steps)))
+    scores, mats, valid = fn(
+        featuremap.dt3, bank.lines, bank.mask,
+        jnp.asarray(pairs_padded[:, 0]), jnp.asarray(pairs_padded[:, 1]),
+        jnp.asarray(pairs_padded[:, 2]), jnp.asarray(scene_padded),
+        featuremap.angles, featuremap.scene_translation, feature_size)
+    scores, valid, mats = (np.asarray(x) for x in (scores, valid, mats))
+    matches = []
+    for i in range(2 * p_real):
+        if not valid[i]:
+            continue
+        matches.append(Match(int(pairs[i // 2, 0]), float(scores[i]),
+                             mats[i].copy()))
+    return matches
 
 
 # ---------------------------------------------------------------------------
@@ -293,3 +385,37 @@ def build_featuremap_spatial(scene, params: Dt3Params = Dt3Params(), *,
         feature_size=(w, h),
         params=params,
     )
+
+
+@functools.lru_cache(maxsize=64)
+def _search_spatial_cached(mesh, axis, statics):
+    """Cached jitted shard_map for :func:`search_spatial` (fresh closures
+    per call would re-trace)."""
+    from ..matching.match import _make_candidates
+    from ..matching import optimize as opt
+    kw = dict(statics)
+    lmax, depth = kw["lmax"], kw["depth"]
+    ph, pw, h_loc = kw["ph"], kw["pw"], kw["h_loc"]
+
+    def local(dt3_block, tl, tm, pt, ptl, psl, sc, ang, tr, fsz):
+        aligned, transforms, align_vecs = _make_candidates(
+            tl, tm, pt, ptl, psl, sc, lmax)
+        c = 2 * pt.shape[0]
+        cand_lines = aligned.reshape(c, lmax, 4)
+        cand_mask = jnp.repeat(tm[pt], 2, axis=0)
+        cand_align = jnp.repeat(align_vecs, 2, axis=0)
+        take = _spatial_take(axis, h_loc, depth, ph, pw)
+        scores, translations, valid = opt.optimize_candidates(
+            dt3_block.reshape(-1), ang, tr, (ph, pw), fsz,
+            cand_lines, cand_mask, cand_align, mode=kw["mode"],
+            window=kw["window"], dense_steps=kw["dense_steps"],
+            take_fn=take)
+        mats = transforms.reshape(c, 2, 3)
+        mats = mats.at[:, :, 2].add(translations)
+        return scores, mats, valid
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis, None),) + (P(),) * 9,
+        out_specs=(P(),) * 3,
+        check_vma=False))

@@ -53,3 +53,33 @@ def test_spatial_build_uneven_padding():
     assert sp.dt3.shape[1] % 8 == 0
     np.testing.assert_array_equal(np.asarray(ref.dt3)[:, :h, :w],
                                   np.asarray(sp.dt3)[:, :h, :w])
+
+
+def test_search_spatial_matches_single_device():
+    """search_spatial on an H-sharded DT3 must equal single-device search
+    (the psum probe gather sums one value + zeros — exact)."""
+    import openfdcm_tpu as of
+    from openfdcm_tpu.parallel.spatial import search_spatial
+    tmpl = np.asarray(utils.create_lines(8, 60.0))
+    rot = utils.make_rotation(np.pi / 3)
+    scene = np.concatenate([tmpl[:, 0:2] @ rot.T, tmpl[:, 2:4] @ rot.T],
+                           axis=1).astype(np.float32) + np.float32(4.0)
+    params = Dt3Params(4, 5.0, 2.2, Distance.L2)
+    mesh = make_mesh(shape=(8,), axis_names=("rows",))
+
+    fm_dense = build_featuremap(scene, params)
+    fm_spatial = build_featuremap_spatial(scene, params, mesh=mesh, pad_to=16)
+
+    for optimizer in (of.BatchOptimize(10), of.DefaultOptimize(),
+                      of.DenseOptimize()):
+        single = of.search(of.DefaultMatch(), of.DefaultSearch(4, 10),
+                           optimizer, fm_dense, [tmpl], scene)
+        sharded = search_spatial(of.DefaultSearch(4, 10), optimizer,
+                                 fm_spatial, [tmpl], scene, mesh=mesh)
+        assert len(single) == len(sharded) > 0
+        for a, b in zip(single, sharded):
+            assert a.tmpl_idx == b.tmpl_idx
+            np.testing.assert_allclose(a.score, b.score, rtol=1e-6,
+                                       atol=1e-7)
+            np.testing.assert_allclose(a.transform, b.transform,
+                                       rtol=1e-6, atol=1e-5)
