@@ -216,15 +216,18 @@ def match_many(scenes, templates, params: fm.Dt3Params, searcher, optimizer,
                     and bank.lengths_np is not None and len(bank.host) > 0
                     and os.environ.get("OPENFDCM_TPU_DEVPAIRS", "1") != "0")
 
+    from .. import profiling
     out = [[] for _ in scenes]
     for key in sorted(buckets):
         idxs = buckets[key]
         group = [scenes[i] for i in idxs]
-        fms = build_featuremap_batch(group, params, pad_to=pad_to)
+        with profiling.stage("build_featuremap"):
+            fms = build_featuremap_batch(group, params, pad_to=pad_to)
         if use_devpairs:
-            rows_all = _genpairs_batch_arrays(
-                searcher, optimizer, fms, bank, [arrs[i] for i in idxs],
-                post, scene_chunk, mesh=mesh)
+            with profiling.stage("search_topk_devpairs"):
+                rows_all = _genpairs_batch_arrays(
+                    searcher, optimizer, fms, bank, [arrs[i] for i in idxs],
+                    post, scene_chunk, mesh=mesh)
             for i, rows in zip(idxs, rows_all):
                 out[i] = [Match(t, s, m.copy()) for (s, t, m) in rows[:top_k]]
             continue
