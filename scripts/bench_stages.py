@@ -12,6 +12,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import openfdcm_tpu as of
 
+of.ensure_backend()
+
 ASSETS = "/root/reference/notebooks/assets"
 
 
