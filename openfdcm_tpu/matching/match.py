@@ -277,6 +277,33 @@ def _search_device_batch_topk_genpairs(tmpl_lines, tmpl_mask, top_vals, ord_t,
 import functools
 
 
+def _gather_rerank(axis: str, k: int, vals, gidx, *extras):
+    """all_gather per-shard top-k rows over ``axis`` and deterministically
+    re-rank by (score, global candidate index) — the cross-shard merge used
+    by both the cand-sharded and bank-sharded top-k paths.
+
+    ``vals``/``gidx``: ``(S, kk)`` per-shard scores and global indices;
+    ``extras``: additional ``(S, kk, ...)`` arrays reordered the same way.
+    Returns ``(vals_k, gidx_k, *extras_k)`` of width ``k``.
+    """
+    av = jax.lax.all_gather(vals, axis, axis=1)      # (S, n, kk)
+    ai = jax.lax.all_gather(gidx, axis, axis=1)
+    s_loc = av.shape[0]
+    fv, fi = av.reshape(s_loc, -1), ai.reshape(s_loc, -1)
+    order = jnp.lexsort((fi, fv))[:, :k]
+
+    def take(a):
+        g = jax.lax.all_gather(a, axis, axis=1)
+        flat = g.reshape((s_loc, -1) + g.shape[3:])
+        idx = order.reshape(order.shape + (1,) * (flat.ndim - 2))
+        return jnp.take_along_axis(flat, idx, axis=1)
+
+    return (jnp.take_along_axis(fv, order, axis=1),
+            jnp.take_along_axis(fi, order, axis=1),
+            *[take(e) for e in extras])
+
+
+
 @functools.lru_cache(maxsize=128)
 def _genpairs_sharded_cached(mesh, axis, statics):
     """Cached jitted shard_map for :func:`_genpairs_topk_sharded` — built
@@ -368,21 +395,11 @@ def _topk_sharded_cached(mesh, scene_axis, cand_axis, statics):
             return -neg_top, mats_k, idx, valid_k
         shard = jax.lax.axis_index(cand_axis)
         gidx = idx + shard * c_local
-        av = jax.lax.all_gather(-neg_top, cand_axis, axis=1)   # (S, nc, kk)
-        ai = jax.lax.all_gather(gidx, cand_axis, axis=1)
-        am = jax.lax.all_gather(mats_k, cand_axis, axis=1)
-        avl = jax.lax.all_gather(valid_k, cand_axis, axis=1)
-        s_loc = av.shape[0]
-        fv = av.reshape(s_loc, -1)
-        fi = ai.reshape(s_loc, -1)
         # after the gather the device holds n_cand*kk candidates — return
         # min(k, n_cand*kk) of them, not the per-device kk
-        order = jnp.lexsort((fi, fv))[:, : min(k, n_cand * kk)]
-        return (jnp.take_along_axis(fv, order, axis=1),
-                jnp.take_along_axis(am.reshape(s_loc, -1, 2, 3),
-                                    order[..., None, None], axis=1),
-                jnp.take_along_axis(fi, order, axis=1),
-                jnp.take_along_axis(avl.reshape(s_loc, -1), order, axis=1))
+        fv, fi, mk2, vk2 = _gather_rerank(
+            cand_axis, min(k, n_cand * kk), -neg_top, gidx, mats_k, valid_k)
+        return fv, mk2, fi, vk2
 
     sa = scene_axis if scene_axis in mesh.axis_names else None
     pair_spec = P(sa, cand_axis) if n_cand > 1 else P(sa)

@@ -253,20 +253,12 @@ def _bank_sharded_cached(mesh, sa, ba, statics):
         gidx = idx + b * (2 * pb)
         if n_bank == 1:
             return -neg_top, mats_k, tmpl_k, gidx
-        av = jax.lax.all_gather(-neg_top, ba, axis=1)
-        am = jax.lax.all_gather(mats_k, ba, axis=1)
-        at = jax.lax.all_gather(tmpl_k, ba, axis=1)
-        ai = jax.lax.all_gather(gidx, ba, axis=1)
-        s_loc = av.shape[0]
-        fv, fi = av.reshape(s_loc, -1), ai.reshape(s_loc, -1)
+        from ..matching.match import _gather_rerank
         # after the gather the device holds n_bank*kk candidates — return
         # min(top_k, n_bank*kk) of them, not the per-device kk
-        order = jnp.lexsort((fi, fv))[:, : min(top_k, n_bank * kk)]
-        return (jnp.take_along_axis(fv, order, axis=1),
-                jnp.take_along_axis(am.reshape(s_loc, -1, 2, 3),
-                                    order[..., None, None], axis=1),
-                jnp.take_along_axis(at.reshape(s_loc, -1), order, axis=1),
-                jnp.take_along_axis(fi, order, axis=1))
+        fv, fi, mk2, tk2 = _gather_rerank(
+            ba, min(top_k, n_bank * kk), -neg_top, gidx, mats_k, tmpl_k)
+        return fv, mk2, tk2, fi
 
     psa, psb = P(sa), P(sa, ba)
     fn = shard_map(
