@@ -107,7 +107,7 @@ def main():
     print(f"# warmup {warm:.1f}s; {n} scenes in {wall:.3f}s; "
           f"best[0]: tmpl={best[0][0].tmpl_idx} score={best[0][0].score:.6f}",
           file=sys.stderr)
-    print(json.dumps({
+    rec = {
         "metric": "pose_pipeline_scenes_per_s",
         "value": round(sps, 3),
         "unit": "scenes/s",
@@ -115,7 +115,12 @@ def main():
         "warmup_s": round(warm, 1),
         "kernel_check_mismatches": kernel_bad,
         "backend": backend,
-    }))
+    }
+    if backend == "cpu-fallback":
+        rec["note"] = ("TPU relay unreachable (timed out); this is a CPU "
+                       "run of the TPU-native pipeline, not a TPU number — "
+                       "see ROADMAP.md / TPU_VALIDATION.log")
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
