@@ -34,6 +34,7 @@ from .matching.pipeline import (
     Dt3FeaturemapBatch, build_featuremap_batch, search_batch, match_many,
 )
 from .sweep import resumable_sweep, SweepState
+from .serving import MatcherService
 
 # Reference spells the enum `openfdcm.distance`.
 distance = Distance
@@ -52,7 +53,7 @@ __all__ = [
     "ExponentialPenalty", "penalize", "Match", "DefaultMatch", "search",
     "sort_matches", "TemplateBank", "prepare_templates", "geometry", "io",
     "Dt3FeaturemapBatch", "build_featuremap_batch", "search_batch", "match_many",
-    "resumable_sweep", "SweepState",
+    "resumable_sweep", "SweepState", "MatcherService",
     "OpenFDCMError", "PointOutOfBound", "ImgProcError", "utils",
     "enable_compilation_cache", "ensure_backend",
 ]
