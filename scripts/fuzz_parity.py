@@ -122,6 +122,9 @@ def main():
         done += 1
         if done % 5 == 0:
             print(f"{done} seeds ok ({time.time() - t0:.0f}s)", flush=True)
+            # every seed compiles fresh shapes; drop accumulated
+            # executables or the process eventually exhausts memory
+            jax.clear_caches()
     print(f"fuzz OK: {done} seeds in {time.time() - t0:.0f}s")
 
 
