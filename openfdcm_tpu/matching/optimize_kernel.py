@@ -31,7 +31,16 @@ _BIG = opt._BIG
 # Window-kernel generation: 3 = sublane-first identity-mapped gathers
 # (~10 shuffle ops/item), 2 = the round-1 patch-gather kernel.
 import os as _os
-KERNEL_VERSION = int(_os.environ.get("OPENFDCM_TPU_KERNEL_VERSION", "3"))
+
+
+def kernel_version() -> int:
+    """Read at TRACE time so a runtime fallback (set the env var, then
+    ``jax.clear_caches()``) can switch kernel generations — e.g. the bench
+    dropping v3 -> v2 -> XLA if a generation fails on hardware."""
+    return int(_os.environ.get("OPENFDCM_TPU_KERNEL_VERSION", "3"))
+
+
+KERNEL_VERSION = kernel_version()   # import-time snapshot (back-compat)
 
 
 # ---------------------------------------------------------------------------
@@ -178,7 +187,7 @@ def optimize_candidates_batch_kernel(dt3, angles, scene_tr, feature_size,
     theta = geo.get_angle(cand_lines)                     # (S, C, L)
     slice_idx = fm.closest_orientation_idx(angles, theta)
 
-    if KERNEL_VERSION == 3:
+    if kernel_version() == 3:
         fields, tc = wk.build_fields_v3(cand_lines, cand_mask, rast, valid,
                                         slice_idx, scene_tr, depth=d, q=q,
                                         cap=items_cap)
@@ -239,7 +248,7 @@ def optimize_candidates_batch_kernel(dt3, angles, scene_tr, feature_size,
 
     def ext_eval(sel, active, sign, t0):
         vdir = jnp.float32(sign) * rast_f[sel]
-        if KERNEL_VERSION == 3:
+        if kernel_version() == 3:
             return wk.window_scores_ext_v3(
                 banks, cl_flat[sel], cm_flat[sel], vdir, active,
                 si_raw[sel], scene_of[sel], scene_tr, t0)

@@ -74,8 +74,8 @@ def check_exactness(verbose=True) -> int:
 
     # Exercise the SAME kernel version production uses (v3 by default) —
     # a v3-specific Mosaic crash or mismatch must not hide behind v2.
-    from openfdcm_tpu.matching.optimize_kernel import KERNEL_VERSION
-    entry = wk.window_scores_v3 if KERNEL_VERSION == 3 else wk.window_scores
+    from openfdcm_tpu.matching.optimize_kernel import kernel_version
+    entry = wk.window_scores_v3 if kernel_version() == 3 else wk.window_scores
     kout, tc = jax.jit(entry)(dt3, scene_tr, cand_lines, cand_mask,
                               rast, valid, slice_idx)
     xout = jax.jit(xla_window)(dt3, scene_tr, cand_lines, cand_mask, rast,
@@ -119,8 +119,8 @@ def main():
         theta = jnp.where(theta >= jnp.pi / 2, theta - jnp.pi,
                           jnp.where(theta < -jnp.pi / 2, theta + jnp.pi, theta))
         slice_idx = fm.closest_orientation_idx(angles, theta)
-        from openfdcm_tpu.matching.optimize_kernel import KERNEL_VERSION
-        entry = wk.window_scores_v3 if KERNEL_VERSION == 3 else wk.window_scores
+        from openfdcm_tpu.matching.optimize_kernel import kernel_version
+        entry = wk.window_scores_v3 if kernel_version() == 3 else wk.window_scores
         f = jax.jit(entry)
         r = f(dt3, scene_tr, cand_lines, cand_mask, rast, valid, slice_idx)
         jax.block_until_ready(r)
