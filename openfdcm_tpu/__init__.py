@@ -71,6 +71,11 @@ def ensure_backend(timeout_s: float = 120.0) -> str:
     import subprocess
     import sys as _sys
     import jax
+    # Already pinned to CPU in-process (tests, docs builds): nothing to
+    # probe — the subprocess would inherit the accelerator env and pay the
+    # full timeout on a dead relay.
+    if jax.config.jax_platforms == "cpu":
+        return "cpu"
     try:
         r = subprocess.run(
             [_sys.executable, "-c",
