@@ -219,24 +219,28 @@ def _search_device_batch_topk(tmpl_lines, tmpl_mask, pair_t, pair_tl, pair_sl,
 
 @partial(jax.jit, static_argnames=("lmax", "hw", "mode", "window",
                                    "dense_steps", "k", "ms", "use_kernel",
-                                   "items_cap", "has_annulus"))
+                                   "items_cap"))
 def _search_device_batch_topk_genpairs(tmpl_lines, tmpl_mask, top_vals, ord_t,
-                                       rank_ok, scenes, n_real, dt3_flat,
-                                       angles, scene_tr, feature_size,
-                                       lengths, tau, annulus, *, lmax, hw,
-                                       mode, window, dense_steps, k, ms,
-                                       use_kernel=False, items_cap=None,
-                                       has_annulus=False):
-    """Top-k search with pair generation ON DEVICE: only raw scene lines are
-    uploaded; the (template, scene-line) windows are computed where the data
-    lives (:func:`openfdcm_tpu.matching.search.device_pairs`), removing the
-    per-chunk ``(S, P, 3)`` pair upload of the host path.
+                                       rank_ok, scenes, slen, svalid,
+                                       dt3_flat, angles, scene_tr,
+                                       feature_size, lengths, tau, *, lmax,
+                                       hw, mode, window, dense_steps, k, ms,
+                                       use_kernel=False, items_cap=None):
+    """Top-k search with pair generation ON DEVICE: scene lines plus their
+    host-computed lengths/validity are uploaded, and the
+    (template, scene-line) windows are computed where the data lives
+    (:func:`openfdcm_tpu.matching.search.device_pairs`), removing the
+    per-chunk ``(S, P, 3)`` pair upload of the host path.  Lengths come
+    from the host (``search.scene_length_mask``) so their f32 values are
+    bit-identical to ``bank_pairs`` — an on-device ``sqrt(dx²+dy²)`` can
+    FMA-contract differently and flip length ties (fuzz seed 41).
 
-    Candidate order is the same emplace order on a ``(T, mt, ms)`` grid with
-    invalid slots masked (the host path packs them out), so tie-breaks can
-    differ from the host path only between equal scores.  Returns
-    ``(scores_k (S,k), mats_k (S,k,2,3), tmpl_k (S,k), valid_k (S,k))`` —
-    template indices come back from the device, no host pair table needed.
+    Candidate order is the same emplace order on a ``(T, mt, ms)`` grid
+    with invalid slots masked (the host path packs them out), so
+    tie-breaks can differ from the host path only between equal scores.
+    Returns ``(scores_k (S,k), mats_k (S,k,2,3), tmpl_k (S,k),
+    valid_k (S,k))`` — template indices come back from the device, no
+    host pair table needed.
     """
     from .search import device_pairs
 
@@ -244,12 +248,11 @@ def _search_device_batch_topk_genpairs(tmpl_lines, tmpl_mask, top_vals, ord_t,
     s_count = scenes.shape[0]
     p = t_count * mt * ms
 
-    def pairs_one(sc, nr):
-        sl, wok = device_pairs(sc, nr, top_vals, rank_ok, ms,
-                               annulus if has_annulus else None)
+    def pairs_one(ln, va):
+        sl, wok = device_pairs(ln, va, top_vals, rank_ok, ms)
         return sl.reshape(-1), wok.reshape(-1)
 
-    sl, wok = jax.vmap(pairs_one)(scenes, n_real)            # (S, P)
+    sl, wok = jax.vmap(pairs_one)(slen, svalid)              # (S, P)
     pair_t = jnp.broadcast_to(
         jnp.repeat(jnp.arange(t_count, dtype=jnp.int32), mt * ms)[None],
         (s_count, p))
@@ -314,30 +317,30 @@ def _genpairs_sharded_cached(mesh, axis, statics):
     from jax import shard_map
     kw = dict(statics)
 
-    def local(tl, tm, tv, ot, ro, sc, nr, dt, ang, tr, fsz, ln, tau, ann):
+    def local(tl, tm, tv, ot, ro, sc, ln, va, dt, ang, tr, fsz, lng, tau):
         return _search_device_batch_topk_genpairs(
-            tl, tm, tv, ot, ro, sc, nr, dt, ang, tr, fsz, ln, tau, ann,
+            tl, tm, tv, ot, ro, sc, ln, va, dt, ang, tr, fsz, lng, tau,
             **kw)
 
     pa = P(axis)
     fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(), P(), P(), P(), P(), pa, pa, pa, P(), pa,
-                             pa, P(), P(), P()),
+                   in_specs=(P(), P(), P(), P(), P(), pa, pa, pa, pa, P(),
+                             pa, pa, P(), P()),
                    out_specs=(pa,) * 4, check_vma=False)
     return jax.jit(fn)
 
 
 def _genpairs_topk_sharded(mesh, tmpl_lines, tmpl_mask, top_vals, ord_t,
-                           rank_ok, scenes, n_real, dt3_flat, angles,
-                           scene_tr, feature_size, lengths, tau, annulus,
+                           rank_ok, scenes, slen, svalid, dt3_flat, angles,
+                           scene_tr, feature_size, lengths, tau,
                            *, axis="scene", **static):
     """Scene-data-parallel :func:`_search_device_batch_topk_genpairs`: each
     device generates pairs for and scores its own scene shard; the bank
     tables are replicated.  No cross-device collectives."""
     fn = _genpairs_sharded_cached(mesh, axis, tuple(sorted(static.items())))
     return fn(tmpl_lines, tmpl_mask, top_vals, ord_t, rank_ok, scenes,
-              n_real, dt3_flat, angles, scene_tr, feature_size, lengths,
-              jnp.float32(tau), annulus)
+              slen, svalid, dt3_flat, angles, scene_tr, feature_size,
+              lengths, jnp.float32(tau))
 
 
 def _search_device_batch_topk_sharded(mesh, tmpl_lines, tmpl_mask, pair_t,

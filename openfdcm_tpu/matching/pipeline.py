@@ -464,7 +464,7 @@ def _genpairs_batch_arrays(searcher, optimizer, featuremaps, bank, arrs,
     """
     from .match import _search_device_batch_topk_genpairs, \
         _genpairs_topk_sharded
-    from .search import bank_line_table
+    from .search import bank_line_table, scene_length_mask
     from .optimize_kernel import kernel_supported, cap_bucket
 
     lengths_dev, tau, top_k = post
@@ -482,10 +482,9 @@ def _genpairs_batch_arrays(searcher, optimizer, featuremaps, bank, arrs,
     top_vals = np.take_along_axis(
         lens_m, ord_t.astype(np.int64), axis=1).astype(np.float32)
     rank_ok = np.arange(mt)[None, :] < k_t[:, None]
-    has_annulus = isinstance(searcher, ConcentricRangeStrategy)
-    annulus = jnp.asarray(
-        [*searcher.center_position, searcher.low_boundary,
-         searcher.high_boundary] if has_annulus else [0.0] * 4, jnp.float32)
+    annulus = ((*searcher.center_position, searcher.low_boundary,
+                searcher.high_boundary)
+               if isinstance(searcher, ConcentricRangeStrategy) else None)
 
     mode, window = opt.optimizer_mode(optimizer)
     ph, pw = featuremaps.dt3.shape[2], featuremaps.dt3.shape[3]
@@ -496,10 +495,11 @@ def _genpairs_batch_arrays(searcher, optimizer, featuremaps, bank, arrs,
 
     nb = _bucket(max((a.shape[0] for a in arrs), default=1), 128)
     scene_arr = np.zeros((s_total, nb, 4), np.float32)
-    n_real = np.zeros((s_total,), np.int32)
+    slen_arr = np.zeros((s_total, nb), np.float32)
+    svalid_arr = np.zeros((s_total, nb), bool)
     for i, a in enumerate(arrs):
         scene_arr[i, : a.shape[0]] = a
-        n_real[i] = a.shape[0]
+        slen_arr[i], svalid_arr[i] = scene_length_mask(a, nb, annulus)
 
     # template-axis chunks bound the candidate tensor per dispatch
     n_dp = mesh.shape.get("scene", 1) if mesh is not None else 1
@@ -520,7 +520,8 @@ def _genpairs_batch_arrays(searcher, optimizer, featuremaps, bank, arrs,
         sub_tr = featuremaps.scene_translations[pad_np]
         sub_fs = jnp.asarray(fs[pad_np])
         sub_scene = jnp.asarray(scene_arr[pad_np])
-        sub_n = jnp.asarray(n_real[pad_np])
+        sub_slen = jnp.asarray(slen_arr[pad_np])
+        sub_valid = jnp.asarray(svalid_arr[pad_np])
         parts = []
         for t0 in range(0, t_count, t_chunk):
             t1 = min(t0 + t_chunk, t_count)
@@ -530,13 +531,12 @@ def _genpairs_batch_arrays(searcher, optimizer, featuremaps, bank, arrs,
             static = dict(lmax=lmax, hw=(ph, pw), mode=mode,
                           window=max(window, 1), dense_steps=dense_steps,
                           k=kk, ms=ms, use_kernel=use_kernel,
-                          items_cap=cap_bucket(items) if use_kernel else None,
-                          has_annulus=has_annulus)
+                          items_cap=cap_bucket(items) if use_kernel else None)
             args = (bank.lines[t0:t1], bank.mask[t0:t1],
                     jnp.asarray(top_vals[t0:t1]), jnp.asarray(ord_t[t0:t1]),
-                    jnp.asarray(rank_ok[t0:t1]), sub_scene, sub_n, sub_dt3,
-                    featuremaps.angles, sub_tr, sub_fs, lengths_dev[t0:t1],
-                    tau, annulus)
+                    jnp.asarray(rank_ok[t0:t1]), sub_scene, sub_slen,
+                    sub_valid, sub_dt3, featuremaps.angles, sub_tr, sub_fs,
+                    lengths_dev[t0:t1], tau)
             if mesh is not None and n_dp > 1:
                 dev = _genpairs_topk_sharded(mesh, *args, **static)
             else:

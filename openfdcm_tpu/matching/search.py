@@ -182,39 +182,58 @@ def bank_line_table(lengths_padded: np.ndarray, counts: np.ndarray,
     return ord_t, k_t
 
 
-def device_pairs(scene, n_real, top_vals, rank_ok, ms: int,
-                 annulus=None):
+def scene_length_mask(scene_arr: np.ndarray, n_pad: int,
+                      annulus=None):
+    """Host-side scene line lengths + validity for :func:`device_pairs`.
+
+    Computed in numpy so the values are BIT-identical to the host
+    ``bank_pairs`` path: XLA may contract ``dx*dx + dy*dy`` into an FMA,
+    which changes last-ulp length values and therefore which scene line
+    wins a window when lengths tie (found by the parity fuzz, seed 41).
+    ``annulus``: optional ``(cx, cy, lo, hi)`` concentric filter, also
+    folded in here with the reference's f32 epsilon rule.
+    Returns ``(slen (n_pad,) f32, valid (n_pad,) bool)``.
+    """
+    n = scene_arr.shape[0]
+    slen = np.zeros((n_pad,), np.float32)
+    valid = np.zeros((n_pad,), bool)
+    slen[:n] = _lengths(scene_arr)
+    valid[:n] = True
+    if annulus is not None:
+        cx, cy, lo, hi = (np.float32(a) for a in annulus)
+        centers = (scene_arr[:, 0:2] + scene_arr[:, 2:4]) / 2
+        radius = np.sqrt(((centers - np.asarray([cx, cy], np.float32)) ** 2)
+                         .sum(axis=1)).astype(np.float32)
+        valid[:n] &= (radius > lo - _F32_EPS) & (radius < hi)
+    return slen, valid
+
+
+def device_pairs(slen, valid_s, top_vals, rank_ok, ms: int):
     """Scene-dependent pair generation ON DEVICE (DefaultSearch /
     ConcentricRangeStrategy semantics, ``defaultsearch.cpp:29-49``).
 
     The host path uploads ``(S, P, 3)`` pair arrays every chunk — dead
-    weight on the interconnect; here only the raw scene lines go up and the
-    windows are computed where the data lives.  Gathers are expressed as
-    one-hot matmuls (MXU) because TPU scalar table-gathers are slow.
+    weight on the interconnect; here only per-line lengths + validity go
+    up (computed host-side by :func:`scene_length_mask` so the f32 values
+    are bit-identical to ``bank_pairs``) and the windows are computed
+    where the data lives.  Gathers are expressed as one-hot matmuls (MXU)
+    because TPU scalar table-gathers are slow.
 
-    ``scene (N, 4)`` padded lines; ``n_real`` traced real count;
-    ``top_vals (T, mt)`` f32 lengths of each template's top lines
-    (``-inf`` beyond ``k_t``); ``rank_ok (T, mt)``; ``annulus``: optional
-    ``(cx, cy, lo, hi)`` f32 array for the concentric filter.
-    Returns ``(sl (T, mt, ms) int32, win_ok (T, mt, ms) bool)`` —
-    combined with ``ord_t``/``rank_ok`` this is the full pair grid, in
-    reference emplace order (template-major, rank-major, window-minor).
-    Bit-exact vs the host path including the f32 tie rules of
-    ``_closest_desc`` (same f32 compares on the same values).
+    ``slen (N,)`` f32 line lengths; ``valid_s (N,)`` bool (padding and
+    annulus-filtered lines False); ``top_vals (T, mt)`` f32 lengths of
+    each template's top lines (``-inf`` beyond ``k_t``);
+    ``rank_ok (T, mt)``.  Returns ``(sl (T, mt, ms) int32,
+    win_ok (T, mt, ms) bool)`` — combined with ``ord_t``/``rank_ok`` this
+    is the full pair grid in reference emplace order (template-major,
+    rank-major, window-minor), bit-exact vs the host packing including
+    the f32 tie rules of ``_closest_desc``.
     """
     import jax
     import jax.numpy as jnp
 
-    n = scene.shape[0]
+    n = slen.shape[0]
     t_count, mt = top_vals.shape
-    d = scene[:, 2:4] - scene[:, 0:2]
-    slen = jnp.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2).astype(jnp.float32)
     pos = jnp.arange(n)
-    valid_s = pos < n_real
-    if annulus is not None:
-        centers = (scene[:, 0:2] + scene[:, 2:4]) * 0.5
-        radius = jnp.sqrt(((centers - annulus[:2]) ** 2).sum(axis=1))
-        valid_s &= (radius > annulus[2] - _F32_EPS) & (radius < annulus[3])
     n_eff = valid_s.sum()
 
     # stable desc sort, filtered-out lines last (-inf keys sort to the end)

@@ -11,8 +11,8 @@ import pytest
 
 import openfdcm_tpu as of
 from openfdcm_tpu.matching.search import (
-    bank_pairs, bank_line_table, device_pairs, DefaultSearch,
-    ConcentricRangeStrategy)
+    bank_pairs, bank_line_table, device_pairs, scene_length_mask,
+    DefaultSearch, ConcentricRangeStrategy)
 from tests.utils import create_lines, make_rotation, apply_transform
 
 
@@ -50,10 +50,9 @@ def test_device_pairs_bitexact(seed):
 
     host = bank_pairs(strat, lens, counts.astype(np.int64), scene)
     ord_t, top_vals, rank_ok = _tables(lens, counts, strat.max_tmpl_lines)
-    scene_p = np.zeros((n + 5, 4), np.float32)
-    scene_p[:n] = scene
+    slen, valid = scene_length_mask(scene, n + 5)
     sl, wok = jax.jit(device_pairs, static_argnums=(4,))(
-        jnp.asarray(scene_p), n, jnp.asarray(top_vals),
+        jnp.asarray(slen), jnp.asarray(valid), jnp.asarray(top_vals),
         jnp.asarray(rank_ok), 7)
     dev = _grid_to_packed(np.asarray(sl), np.asarray(wok), ord_t, 7)
     np.testing.assert_array_equal(dev, host)
@@ -68,12 +67,10 @@ def test_device_pairs_annulus_bitexact():
 
     host = bank_pairs(strat, lens, counts.astype(np.int64), scene)
     ord_t, top_vals, rank_ok = _tables(lens, counts, 3)
-    scene_p = np.zeros((32, 4), np.float32)
-    scene_p[:25] = scene
-    ann = jnp.asarray([50.0, 50.0, 10.0, 60.0], jnp.float32)
+    slen, valid = scene_length_mask(scene, 32, (50.0, 50.0, 10.0, 60.0))
     sl, wok = jax.jit(device_pairs, static_argnums=(4,))(
-        jnp.asarray(scene_p), 25, jnp.asarray(top_vals),
-        jnp.asarray(rank_ok), 5, ann)
+        jnp.asarray(slen), jnp.asarray(valid), jnp.asarray(top_vals),
+        jnp.asarray(rank_ok), 5)
     dev = _grid_to_packed(np.asarray(sl), np.asarray(wok), ord_t, 5)
     np.testing.assert_array_equal(dev, host)
 
