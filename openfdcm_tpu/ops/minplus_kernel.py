@@ -6,15 +6,27 @@ kernel: ``out[r, x] = min_s (g2[r, s] + (x - s)^2)`` (``core/dt.py``).  XLA
 computes the dense O(W²) form at VPU peak, which dominates DT3 build time at
 large canvases (~425ms of a 1080p-class build).
 
-Banding makes it sub-quadratic on real scenes while staying EXACT: the
-winning source for a pixel satisfies ``|x - s*| <= d_L2(x) <= d_L1(x)``
-(the L2 distance is bounded by the L1 distance of the same seed set, and
-the quadratic term alone already exceeds the optimum beyond that radius).
-The L1 distance transform costs only two cumulative-min passes, so each
-(256-row × 128-col) tile gets a cheap exact search radius
-``R = max d_L1 + 1`` and scans only source chunks within it.  Far-field /
-empty tiles degrade to the full scan; near-field tiles (most of a real
-scene) scan a handful of chunks.
+Two independent, composable exactness-preserving prunes cut the scan:
+
+1. **L1 band.** The winning source for a pixel satisfies
+   ``|x - s*| <= d_L2(x) <= d_L1(x)`` (the L2 distance is bounded by the
+   L1 distance of the same seed set, and the quadratic term alone already
+   exceeds the optimum beyond that radius).  The L1 distance transform
+   costs only two cumulative-min passes, so each (256-row × 128-col) tile
+   gets a cheap exact search radius ``R = max d_L1 + 1``.
+
+2. **Active-source compaction.**  After the column pass, ``g2[r, s]`` is
+   finite only for columns ``s`` that contain at least one seed (the
+   column pass propagates along columns, so a seedless column stays
+   +inf for every row); infinite sources can never win the min-plus.
+   Each tile therefore scans only the source chunks that hold a finite
+   value somewhere in the tile's rows — far-field tiles of *sparse*
+   orientation slices (where ``d_L1`` is large and the band alone
+   degrades to the full scan) drop to the handful of chunks the slice's
+   lines actually touch.
+
+The per-tile chunk list is the intersection of both prunes, precomputed
+vectorized on the XLA side and streamed through SMEM.
 
 Kernel layout: sources and rows ride the vregs — per (dest column, source
 octet) step the tile updates an ``(8 sources, RB rows)`` minimum carrier,
@@ -35,16 +47,16 @@ CB = 128      # dest columns per tile
 INTERPRET = False
 
 
-def _kernel(clo_ref, nch_ref, g2t_ref, out_ref, *, w):
+def _kernel(chunks_ref, nch_ref, g2t_ref, out_ref, *, w):
     """One (row-tile i, col-tile j) program.
 
     ``g2t_ref``: (1, W, RB) transposed source block (rows on lanes).
     ``out_ref``: (1, CB, RB) transposed dest block.
-    ``clo/nch``: SMEM scalars — first source chunk and chunk count.
+    ``chunks/nch``: SMEM — per-tile compacted source-chunk list and its
+    length (band ∩ active sources).
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
-    clo = clo_ref[i, j]
     nch = nch_ref[i, j]
     x0 = j * CB
 
@@ -54,7 +66,7 @@ def _kernel(clo_ref, nch_ref, g2t_ref, out_ref, *, w):
     out_ref[0, :, :] = jnp.full((CB, RB), jnp.inf, jnp.float32)
 
     def chunk(ci, _):
-        c = clo + ci
+        c = chunks_ref[0, j, ci]
         base = pl.multiple_of(c * CB, 128)
         src = g2t_ref[0, pl.ds(base, CB), :]              # (CB srcs, RB)
         basef = (c * CB).astype(jnp.float32)
@@ -89,15 +101,7 @@ def minplus_rows_banded(g2: jax.Array, l1: jax.Array) -> jax.Array:
     n, w = g2.shape
     assert w % CB == 0 and n % RB == 0
     nbr, nbc = n // RB, w // CB
-
-    # per-tile radius bound -> source chunk window
-    r_tile = jnp.max(l1.reshape(nbr, RB, nbc, CB), axis=(1, 3))
-    r_tile = jnp.minimum(r_tile, jnp.float32(w)) + 1.0    # inf-safe clamp
-    r_tile = r_tile.astype(jnp.int32)
-    x0 = (jnp.arange(nbc, dtype=jnp.int32) * CB)[None, :]
-    c_lo = jnp.maximum(0, (x0 - r_tile) // CB)
-    c_hi = jnp.minimum(nbc - 1, (x0 + CB - 1 + r_tile) // CB)
-    nch = c_hi - c_lo + 1
+    chunks, nch = _plan_chunks(g2, l1)
 
     g2t = jnp.swapaxes(g2.reshape(nbr, RB, w), 1, 2)      # (nbr, W, RB)
 
@@ -105,7 +109,8 @@ def minplus_rows_banded(g2: jax.Array, l1: jax.Array) -> jax.Array:
         partial(_kernel, w=w),
         grid=(nbr, nbc),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nbc, nbc), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, w, RB), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -114,6 +119,35 @@ def minplus_rows_banded(g2: jax.Array, l1: jax.Array) -> jax.Array:
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nbr, nbc * CB, RB), jnp.float32),
         interpret=INTERPRET,
-    )(c_lo.reshape(nbr, nbc), nch.reshape(nbr, nbc), g2t)
+    )(chunks, nch, g2t)
 
     return jnp.swapaxes(out_t, 1, 2).reshape(n, w)
+
+
+def _plan_chunks(g2: jax.Array, l1: jax.Array):
+    """Per-tile compacted source-chunk plan: ``(chunks (nbr, nbc, nbc)
+    int32, nch (nbr, nbc) int32)``.  Chunk ``c`` is scanned by tile
+    ``(i, j)`` iff it intersects the tile's L1 winner-radius window AND
+    holds a finite source anywhere in the tile's rows."""
+    n, w = g2.shape
+    nbr, nbc = n // RB, w // CB
+
+    # L1 band -> source chunk window per (row tile, dest col tile)
+    r_tile = jnp.max(l1.reshape(nbr, RB, nbc, CB), axis=(1, 3))
+    r_tile = jnp.minimum(r_tile, jnp.float32(w)) + 1.0    # inf-safe clamp
+    r_tile = r_tile.astype(jnp.int32)
+    x0 = (jnp.arange(nbc, dtype=jnp.int32) * CB)[None, :]
+    c_lo = jnp.maximum(0, (x0 - r_tile) // CB)            # (nbr, nbc)
+    c_hi = jnp.minimum(nbc - 1, (x0 + CB - 1 + r_tile) // CB)
+
+    # active sources per (row tile, source chunk)
+    act = jnp.any(jnp.isfinite(g2).reshape(nbr, RB, nbc, CB), axis=(1, 3))
+
+    c = jnp.arange(nbc, dtype=jnp.int32)
+    sel = (act[:, None, :] & (c[None, None, :] >= c_lo[:, :, None])
+           & (c[None, None, :] <= c_hi[:, :, None]))      # (nbr, nbc, nbc)
+    nch = jnp.sum(sel, axis=-1).astype(jnp.int32)
+    # stable compaction: selected chunks first, ascending
+    key = jnp.where(sel, c[None, None, :], c[None, None, :] + nbc)
+    chunks = jnp.sort(key, axis=-1).astype(jnp.int32) % nbc
+    return chunks, nch

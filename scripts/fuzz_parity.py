@@ -10,7 +10,7 @@ with collinear/degenerate lines, varying depths/metrics) runs through:
 Any mismatch prints the seed + details and exits 1.  Runs until
 ``n_seeds`` or a time budget is exhausted.
 
-Usage: python scripts/fuzz_parity.py [n_seeds] [time_budget_s]
+Usage: python scripts/fuzz_parity.py [n_seeds] [time_budget_s] [start_seed]
 """
 import os
 import sys
@@ -104,11 +104,12 @@ def check_seed(seed, mesh_scene, mesh_rows):
 def main():
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     budget = float(sys.argv[2]) if len(sys.argv) > 2 else 1e9
+    start = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     mesh_scene = make_mesh(shape=(2,), axis_names=("scene",))
     mesh_rows = make_mesh(shape=(8,), axis_names=("rows",))
     t0 = time.time()
     done = 0
-    for seed in range(n_seeds):
+    for seed in range(start, start + n_seeds):
         if time.time() - t0 > budget:
             break
         try:
