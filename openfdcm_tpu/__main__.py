@@ -92,7 +92,8 @@ def cmd_sweep(args) -> int:
 def cmd_info(args) -> int:
     import numpy as np
     import openfdcm_tpu as of
-    of.ensure_backend()
+    # pure host-side I/O — no backend probe, so `info` works (fast) even
+    # when the TPU relay is unreachable
     arr = np.asarray(of.read(args.file))
     d = arr[:, 2:4] - arr[:, 0:2]
     lengths = np.hypot(d[:, 0], d[:, 1])

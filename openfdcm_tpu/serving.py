@@ -86,6 +86,14 @@ class MatcherService:
         self._closed.set()
         self._queue.put(None)           # wake the dispatcher
         self._thread.join(timeout=30)
+        # fail any request that raced the shutdown instead of dropping it
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item[1].cancelled():
+                item[1].set_exception(RuntimeError("MatcherService closed"))
 
     def __enter__(self):
         return self
@@ -101,18 +109,22 @@ class MatcherService:
         if first is None:
             return None
         batch = [first]
-        deadline = (threading.TIMEOUT_MAX if self.max_batch_delay_s <= 0
-                    else self.max_batch_delay_s)
         import time
-        t_end = time.monotonic() + deadline
+        t_end = time.monotonic() + max(self.max_batch_delay_s, 0.0)
         while len(batch) < self.max_batch:
             remaining = t_end - time.monotonic()
             if remaining <= 0:
-                break
-            try:
-                item = self._queue.get(timeout=remaining)
-            except queue.Empty:
-                break
+                # zero delay still drains whatever is already queued —
+                # concurrent submitters coalesce, a lone request never waits
+                try:
+                    item = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+            else:
+                try:
+                    item = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
             if item is None:
                 self._queue.put(None)   # re-signal close after this batch
                 break

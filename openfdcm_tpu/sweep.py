@@ -56,6 +56,8 @@ class SweepState:
                 "rows": self.rows,
                 "mats": self.mats.tolist(),
             }, f)
+            f.flush()
+            os.fsync(f.fileno())        # survive a hard kill mid-rename
         os.replace(tmp, os.path.join(self.state_dir, "state.json"))
 
     @classmethod
@@ -96,12 +98,14 @@ def resumable_sweep(scenes, templates, params: fm.Dt3Params, searcher,
     state = SweepState.load(state_dir)
     if state is not None and (state.n_templates != n_total
                               or state.chunk_size != chunk_size
-                              or state.top_k != top_k):
+                              or state.top_k != top_k
+                              or len(state.rows) != len(scenes)):
         raise ValueError(
             f"sweep state in {state_dir} was written for a different "
             f"configuration (templates {state.n_templates} vs {n_total}, "
             f"chunk {state.chunk_size} vs {chunk_size}, k {state.top_k} "
-            f"vs {top_k}); delete it or use a fresh state_dir")
+            f"vs {top_k}, scenes {len(state.rows)} vs {len(scenes)}); "
+            f"delete it or use a fresh state_dir")
     if state is None:
         state = SweepState(
             state_dir=state_dir, n_templates=n_total, chunk_size=chunk_size,

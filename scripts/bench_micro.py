@@ -40,8 +40,20 @@ def bench_dt3_1080p():
     fm = of.build_featuremap(scene, params, pad_to=128)
     sync(fm.dt3)
     ms = (time.perf_counter() - t0) * 1e3
-    return {"metric": "dt3_build_1080p_ms", "value": round(ms, 1), "unit": "ms",
-            "canvas": list(fm.feature_size)}
+    out = [{"metric": "dt3_build_1080p_ms", "value": round(ms, 1),
+            "unit": "ms", "canvas": list(fm.feature_size)}]
+
+    # BASELINE.json config #2 verbatim: depth=60, L2_SQUARED, padding=1.5.
+    params = of.Dt3Params(60, 5.0, 1.5, of.Distance.L2_SQUARED)
+    fm = of.build_featuremap(scene, params, pad_to=128)
+    sync(fm.dt3)
+    t0 = time.perf_counter()
+    fm = of.build_featuremap(scene, params, pad_to=128)
+    sync(fm.dt3)
+    ms = (time.perf_counter() - t0) * 1e3
+    out.append({"metric": "dt3_build_1080p_d60_l2sq_ms", "value": round(ms, 1),
+                "unit": "ms", "canvas": list(fm.feature_size)})
+    return out
 
 
 def bench_pose(objs, label):
@@ -76,8 +88,11 @@ def bench_pose(objs, label):
 
 
 def main():
-    of.enable_compilation_cache("/root/repo/.jax_cache")
-    out = [bench_dt3_1080p(),
+    backend = of.ensure_backend()
+    of.enable_compilation_cache(
+        "/root/repo/.jax_cache" if backend == "tpu"
+        else "/root/repo/.jax_cache_cpu")
+    out = [*bench_dt3_1080p(),
            bench_pose(["obj_01"], "bank114"),
            bench_pose(["obj_01", "obj_02", "obj_03", "obj_04"], "bank421")]
     for o in out:

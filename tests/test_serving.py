@@ -82,3 +82,34 @@ def test_service_close_rejects_new_work():
         raise AssertionError("submit after close must raise")
     except RuntimeError:
         pass
+
+
+def test_service_zero_delay_dispatches_immediately():
+    """max_batch_delay_s=0 must dispatch a lone request without waiting for
+    max_batch scenes (regression: 0 used to mean 'wait forever')."""
+    templates, scenes = _setup(n_scenes=1)
+    with MatcherService(templates, PARAMS, of.DefaultSearch(4, 10),
+                        of.BatchOptimize(10), top_k=3,
+                        max_batch=16, max_batch_delay_s=0.0) as svc:
+        res = svc.match(scenes[0], timeout=600)
+    assert len(res) > 0
+
+
+def test_service_close_fails_raced_requests():
+    templates, scenes = _setup(n_scenes=1)
+    svc = MatcherService(templates, PARAMS, of.DefaultSearch(4, 10),
+                         of.BatchOptimize(10), top_k=3)
+    svc.match(scenes[0], timeout=600)       # warm once
+    # a request that lands after the close marker can never be dispatched;
+    # close() must fail it rather than drop it
+    svc._closed.set()
+    svc._queue.put(None)
+    fut = of.serving.Future()
+    svc._queue.put((np.asarray(scenes[0], np.float32), fut))
+    svc.close()
+    try:
+        fut.result(timeout=5)
+        raised = False
+    except RuntimeError:
+        raised = True
+    assert raised
