@@ -109,12 +109,21 @@ def main():
                              penalty=of.ExponentialPenalty(1.5),
                              template_lengths=lengths, top_k=10)
 
-    # Warmup / compile every shape bucket once.  One retry absorbs a
-    # transient TPU-worker hiccup on the tunneled dev chip.
+    # Warmup / compile every shape bucket once.  A transient TPU-worker
+    # error on the tunneled dev chip wedges the in-process JAX client
+    # permanently (retries in-process keep failing) — the only reliable
+    # recovery is a fresh process, so re-exec once.
+    import os
     t0 = time.perf_counter()
     try:
         run(scenes)
     except Exception as e:  # noqa: BLE001
+        if os.environ.get("OPENFDCM_BENCH_REEXEC") != "1":
+            print(f"# warmup failed ({type(e).__name__}); re-execing once",
+                  file=sys.stderr)
+            os.environ["OPENFDCM_BENCH_REEXEC"] = "1"
+            time.sleep(10)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
         print(f"# warmup retry after: {type(e).__name__}", file=sys.stderr)
         time.sleep(5)
         run(scenes)
