@@ -8,9 +8,23 @@ template bank, then penalize + sort.  The reference reports 22 FPS (45 ms
 per scene) on an Intel i7-14700 — that is ``vs_baseline``'s denominator.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Failure policy (VERDICT r2 weak #1): NO failure mode may exit without the
+JSON line.  The ladder is
+  1. normal run on the probed backend;
+  2. on a *backend/runtime* error, re-exec once (a wedged tunneled-TPU JAX
+     client cannot be revived in-process) and retry on TPU;
+  3. if the retry also hits a backend error, re-exec a second time with
+     the platform pinned to CPU and run the reduced CPU protocol, emitting
+     a labeled ``cpu-fallback`` record;
+  4. if even that fails (or the error is deterministic — bad assets, code
+     bug), emit a JSON record with ``value: 0.0`` and an ``error`` field.
+A mid-loop wedge after >=1 completed steady-state loop reports the loops
+that completed instead of dying.
 """
 import glob
 import json
+import os
 import sys
 import time
 
@@ -18,6 +32,39 @@ import numpy as np
 
 BASELINE_SCENES_PER_S = 22.0
 ASSETS = "/root/reference/notebooks/assets"
+REEXEC_ENV = "OPENFDCM_BENCH_REEXEC"
+FORCE_CPU_ENV = "OPENFDCM_BENCH_FORCE_CPU"
+
+
+def emit(rec: dict) -> None:
+    print(json.dumps(rec))
+    sys.stdout.flush()
+
+
+def is_backend_error(e: BaseException) -> bool:
+    """True for errors that a fresh process / CPU pin can plausibly fix
+    (wedged TPU client, relay timeouts), False for deterministic bugs."""
+    try:
+        import jax
+        if isinstance(e, jax.errors.JaxRuntimeError):
+            return True
+    except Exception:  # noqa: BLE001 — jax itself broken: treat as runtime
+        return True
+    msg = f"{type(e).__name__}: {e}"
+    needles = ("TPU backend error", "INTERNAL", "UNAVAILABLE",
+               "DEADLINE_EXCEEDED", "DataLoss", "Socket closed",
+               "failed to connect", "XlaRuntimeError")
+    return any(n in msg for n in needles)
+
+
+def reexec(extra_env: dict) -> None:
+    """Replace the process (ADVICE r2: flush stdio first, absolute script
+    path so a cwd change cannot break the exec)."""
+    os.environ.update(extra_env)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    script = os.path.abspath(__file__)
+    os.execv(sys.executable, [sys.executable, script] + sys.argv[1:])
 
 
 def _kernel_hardware_check() -> int | None:
@@ -27,7 +74,6 @@ def _kernel_hardware_check() -> int | None:
     import jax
     if jax.default_backend() != "tpu":
         return None
-    import os
     import importlib.util
     spec = importlib.util.spec_from_file_location(
         "window_kernel_tpu_check",
@@ -46,6 +92,8 @@ def _kernel_hardware_check() -> int | None:
     except Exception as e:  # noqa: BLE001 — Mosaic compile crash etc.
         # Fallback ladder: a failing v3 must not kill the bench — retry
         # with the v2 kernel, then the XLA path.
+        if is_backend_error(e):
+            raise
         print(f"# WARNING: window kernel v3 failed on hardware "
               f"({type(e).__name__}: {e}); retrying with v2",
               file=sys.stderr)
@@ -57,6 +105,8 @@ def _kernel_hardware_check() -> int | None:
                 return 0
             raise RuntimeError(f"{bad} mismatching lanes")
         except Exception as e2:  # noqa: BLE001
+            if is_backend_error(e2):
+                raise
             os.environ["OPENFDCM_TPU_KERNEL"] = "0"
             jax.clear_caches()
             print(f"# WARNING: window kernel v2 also failed "
@@ -65,15 +115,10 @@ def _kernel_hardware_check() -> int | None:
             return -1
 
 
-def main():
+def protocol(backend: str) -> dict:
+    """The measurement itself.  Raises on failure; the caller owns the
+    recovery ladder."""
     import openfdcm_tpu as of
-    backend = of.ensure_backend()
-    if backend == "cpu-fallback":
-        print("# WARNING: TPU backend unreachable; falling back to CPU",
-              file=sys.stderr)
-    of.enable_compilation_cache(
-        "/root/repo/.jax_cache" if backend == "tpu"
-        else "/root/repo/.jax_cache_cpu")
 
     kernel_bad = _kernel_hardware_check()
     if kernel_bad:
@@ -81,20 +126,18 @@ def main():
               f"mismatching lanes", file=sys.stderr)
 
     obj = "obj_01"
-    templates = [of.read(p) for p in sorted(glob.glob(f"{ASSETS}/{obj}/templates/*.tmpl"))]
+    templates = [of.read(p) for p in sorted(
+        glob.glob(f"{ASSETS}/{obj}/templates/*.tmpl"))]
     scene_paths = sorted(glob.glob(f"{ASSETS}/{obj}/scene_*/camera_0.scene"))
     scenes = [of.read(p) for p in scene_paths]
     if not templates or not scenes:
-        print(json.dumps({"metric": "scenes_per_s", "value": 0.0,
-                          "unit": "scenes/s", "vs_baseline": 0.0,
-                          "error": "assets not found"}))
-        return
+        raise FileNotFoundError(f"assets not found under {ASSETS}/{obj}")
 
-    # A CPU-fallback run (dead relay) measures the same metric on a scene
-    # subset and a single steady-state loop — the full 40-scene x 4-loop
-    # protocol takes >1 h on CPU and would time out the bench driver.
+    # A CPU run (dead relay) measures the same metric on a scene subset and
+    # a single steady-state loop — the full 40-scene x 4-loop protocol
+    # takes >1 h on CPU and would time out the bench driver.
     n_loops = 3
-    if backend == "cpu-fallback":
+    if backend != "tpu":
         scenes = scenes[:4]
         n_loops = 1
 
@@ -109,39 +152,56 @@ def main():
                              penalty=of.ExponentialPenalty(1.5),
                              template_lengths=lengths, top_k=10)
 
-    # Warmup / compile every shape bucket once.  A transient TPU-worker
-    # error on the tunneled dev chip wedges the in-process JAX client
-    # permanently (retries in-process keep failing) — the only reliable
-    # recovery is a fresh process, so re-exec once.
-    import os
     t0 = time.perf_counter()
-    try:
-        run(scenes)
-    except Exception as e:  # noqa: BLE001
-        if os.environ.get("OPENFDCM_BENCH_REEXEC") != "1":
-            print(f"# warmup failed ({type(e).__name__}); re-execing once",
-                  file=sys.stderr)
-            os.environ["OPENFDCM_BENCH_REEXEC"] = "1"
-            time.sleep(10)
-            os.execv(sys.executable, [sys.executable] + sys.argv)
-        print(f"# warmup retry after: {type(e).__name__}", file=sys.stderr)
-        time.sleep(5)
-        run(scenes)
+    best_all = run(scenes)   # warmup / compile every shape bucket once
     warm = time.perf_counter() - t0
 
     n = len(scenes)
     walls = []
+    loop_error = None
     for _ in range(n_loops):
         t0 = time.perf_counter()
-        best_all = run(scenes)
+        try:
+            best_all = run(scenes)
+        except Exception as e:  # noqa: BLE001 — mid-loop wedge
+            if not walls:
+                raise
+            loop_error = f"{type(e).__name__}: {e}"[:200]
+            print(f"# WARNING: steady-state loop failed after "
+                  f"{len(walls)}/{n_loops} loops: {loop_error}",
+                  file=sys.stderr)
+            break
         walls.append(time.perf_counter() - t0)
-    wall = sorted(walls)[len(walls) // 2]   # median of steady-state loops
+    wall = sorted(walls)[len(walls) // 2]   # median of completed loops
     sps = n / wall
     best = best_all
 
     print(f"# warmup {warm:.1f}s; {n} scenes in {wall:.3f}s; "
           f"best[0]: tmpl={best[0][0].tmpl_idx} score={best[0][0].score:.6f}",
           file=sys.stderr)
+
+    # Golden ranking parity on the hardware result (VERDICT r2 #5): the
+    # best match per scene must agree with the committed CPU goldens.
+    golden_bad = None
+    gpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tests", "goldens", "pose_best.json")
+    if os.path.exists(gpath):
+        with open(gpath) as f:
+            goldens = json.load(f)
+        golden_bad = 0
+        for path, matches in zip(scene_paths[:n], best_all):
+            key = os.path.relpath(path, ASSETS)
+            want = goldens.get(key)
+            if not want or not matches:
+                continue
+            m, w = matches[0], want[0]
+            if (m.tmpl_idx != w["tmpl_idx"]
+                    or abs(m.score - w["score"]) > 1e-5 + 1e-4 * abs(w["score"])):
+                golden_bad += 1
+                print(f"# GOLDEN MISMATCH {key}: tmpl {m.tmpl_idx} "
+                      f"score {m.score:.6f} vs golden {w['tmpl_idx']} "
+                      f"{w['score']:.6f}", file=sys.stderr)
+
     rec = {
         "metric": "pose_pipeline_scenes_per_s",
         "value": round(sps, 3),
@@ -149,14 +209,62 @@ def main():
         "vs_baseline": round(sps / BASELINE_SCENES_PER_S, 3),
         "warmup_s": round(warm, 1),
         "kernel_check_mismatches": kernel_bad,
+        "golden_mismatches": golden_bad,
         "backend": backend,
     }
-    if backend == "cpu-fallback":
-        rec["note"] = ("TPU relay unreachable (timed out); this is a CPU "
-                       f"run of the TPU-native pipeline over {n} scenes, "
-                       "not a TPU number — see ROADMAP.md / "
-                       "TPU_VALIDATION.log")
-    print(json.dumps(rec))
+    if loop_error is not None:
+        rec["note"] = (f"backend failed mid-run; median of {len(walls)}"
+                       f"/{n_loops} completed loops ({loop_error})")
+    if backend != "tpu":
+        rec["backend"] = "cpu-fallback"
+        rec["note"] = ("TPU relay unreachable or wedged; this is a CPU run "
+                       f"of the TPU-native pipeline over {n} scenes, not a "
+                       "TPU number — see ROADMAP.md / TPU_VALIDATION.log")
+    return rec
+
+
+def main():
+    import openfdcm_tpu as of
+    force_cpu = os.environ.get(FORCE_CPU_ENV) == "1"
+    if force_cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        backend = "cpu-fallback"
+    else:
+        backend = of.ensure_backend()
+        if backend == "cpu-fallback":
+            print("# WARNING: TPU backend unreachable; falling back to CPU",
+                  file=sys.stderr)
+    of.enable_compilation_cache(
+        "/root/repo/.jax_cache" if backend == "tpu"
+        else "/root/repo/.jax_cache_cpu")
+
+    try:
+        rec = protocol(backend)
+    except Exception as e:  # noqa: BLE001
+        err = f"{type(e).__name__}: {e}"[:300]
+        print(f"# bench failed: {err}", file=sys.stderr)
+        stage = os.environ.get(REEXEC_ENV, "0")
+        if is_backend_error(e) and not force_cpu:
+            # A transient TPU-worker error on the tunneled dev chip wedges
+            # the in-process JAX client permanently — only a fresh process
+            # recovers.  One TPU retry, then pin CPU.
+            if stage == "0":
+                print("# re-execing once (TPU retry)", file=sys.stderr)
+                time.sleep(10)
+                reexec({REEXEC_ENV: "1"})
+            print("# TPU retry also failed; re-execing pinned to CPU",
+                  file=sys.stderr)
+            reexec({REEXEC_ENV: "2", FORCE_CPU_ENV: "1",
+                    "JAX_PLATFORMS": "cpu"})
+        # Deterministic failure, or the CPU fallback itself failed: still
+        # emit the JSON contract line so the driver records *something*.
+        emit({"metric": "pose_pipeline_scenes_per_s", "value": 0.0,
+              "unit": "scenes/s", "vs_baseline": 0.0,
+              "backend": backend, "error": err,
+              "reexec_stage": stage})
+        return
+    emit(rec)
 
 
 if __name__ == "__main__":

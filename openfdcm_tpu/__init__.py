@@ -59,7 +59,7 @@ __all__ = [
 ]
 
 
-def ensure_backend(timeout_s: float = 120.0) -> str:
+def ensure_backend(timeout_s: float = 240.0) -> str:
     """Probe the accelerator backend in a SUBPROCESS and fall back to CPU
     if it is unreachable.
 

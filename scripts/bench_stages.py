@@ -53,17 +53,25 @@ def main():
     print(f"warmup (compile): {time.perf_counter()-t0:.1f}s  stages={times}")
     print("best:", best[0].tmpl_idx, best[0].score, best[0].transform[:, 2])
 
-    total = {"build": 0.0, "search": 0.0, "post": 0.0}
-    n = 0
-    t_start = time.perf_counter()
+    # Medians + stall flagging (VERDICT r2 weak #6): the tunneled relay
+    # occasionally stalls for seconds mid-dispatch; a mean would fold those
+    # into the aggregate and produce a garbage scenes/s figure.
+    per = {"build": [], "search": [], "post": []}
     for s in scenes[1:6]:
         (b, se, po), best = run_scene(s, templates, optimizer, params)
-        total["build"] += b; total["search"] += se; total["post"] += po; n += 1
+        per["build"].append(b); per["search"].append(se); per["post"].append(po)
         print(f"scene: build={b*1e3:.1f}ms search={se*1e3:.1f}ms post={po*1e3:.1f}ms "
               f"best={best[0].tmpl_idx} score={best[0].score:.5f}")
-    wall = time.perf_counter() - t_start
-    print(f"avg per scene: build={total['build']/n*1e3:.1f}ms search={total['search']/n*1e3:.1f}ms "
-          f"post={total['post']/n*1e3:.1f}ms  -> {n/wall:.2f} scenes/s")
+    med = {k: float(np.median(v)) for k, v in per.items()}
+    stalls = [(k, i, t) for k, v in med.items() for i, t in enumerate(per[k])
+              if t > max(5 * v, v + 1.0)]
+    for k, i, t in stalls:
+        print(f"# STALL rejected: {k} pass {i} took {t*1e3:.0f}ms "
+              f"(median {med[k]*1e3:.0f}ms) — relay hiccup, excluded")
+    scene_s = med["build"] + med["search"] + med["post"]
+    print(f"median per scene: build={med['build']*1e3:.1f}ms "
+          f"search={med['search']*1e3:.1f}ms post={med['post']*1e3:.1f}ms "
+          f"-> {1.0/scene_s:.2f} scenes/s ({len(stalls)} stalled passes rejected)")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,73 @@
+"""Generate golden best-match records for the 40 bundled pose scenes
+(VERDICT r2 next-step #5).
+
+For every scene of obj_01..obj_04, runs the reference-exact greedy pipeline
+(depth=30, L2, padding=1.0, DefaultSearch(4,10), BatchOptimize(10),
+ExponentialPenalty(1.5) — the pose-notebook configuration,
+``/root/reference/notebooks/pose_extimation_example.ipynb`` cell 13) on the
+CPU backend and records the top-3 matches: (tmpl_idx, score, 2x3 transform).
+
+Output: tests/goldens/pose_best.json, asserted by tests/test_goldens.py and
+checked (tolerance per ``matchstrategy.test.cpp:63-64``) by bench.py's
+hardware run — any ranking drift between backends or rounds fails loudly.
+
+Usage: python scripts/make_goldens.py [obj_01 obj_02 ...]
+"""
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")     # goldens are CPU ground truth
+
+import openfdcm_tpu as of                     # noqa: E402
+
+ASSETS = "/root/reference/notebooks/assets"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "tests", "goldens", "pose_best.json")
+
+
+def main():
+    objs = sys.argv[1:] or ["obj_01", "obj_02", "obj_03", "obj_04"]
+    of.enable_compilation_cache("/root/repo/.jax_cache_cpu")
+
+    goldens = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            goldens = json.load(f)
+
+    for obj in objs:
+        templates = [of.read(p) for p in sorted(
+            glob.glob(f"{ASSETS}/{obj}/templates/*.tmpl"))]
+        scene_paths = sorted(glob.glob(f"{ASSETS}/{obj}/scene_*/camera_0.scene"))
+        scenes = [of.read(p) for p in scene_paths]
+        params = of.Dt3Params(30, 5.0, 1.0, of.Distance.L2)
+        lengths = of.get_template_lengths(templates)
+        bank = of.prepare_templates(templates)
+        res = of.match_many(scenes, bank, params, of.DefaultSearch(4, 10),
+                            of.BatchOptimize(10),
+                            penalty=of.ExponentialPenalty(1.5),
+                            template_lengths=lengths, top_k=3)
+        for path, matches in zip(scene_paths, res):
+            key = os.path.relpath(path, ASSETS)
+            goldens[key] = [{
+                "tmpl_idx": int(m.tmpl_idx),
+                "score": float(np.float32(m.score)),
+                "transform": np.asarray(m.transform, np.float32).tolist(),
+            } for m in matches]
+            print(f"{key}: best tmpl={matches[0].tmpl_idx} "
+                  f"score={matches[0].score:.6f}", flush=True)
+        os.makedirs(os.path.dirname(OUT), exist_ok=True)
+        with open(OUT, "w") as f:            # persist per object
+            json.dump(goldens, f, indent=1, sort_keys=True)
+    print(f"wrote {len(goldens)} scene goldens to {OUT}")
+
+
+if __name__ == "__main__":
+    main()

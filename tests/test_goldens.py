@@ -1,0 +1,67 @@
+"""Golden-file ranking parity for the bundled pose scenes (VERDICT r2 #5).
+
+``tests/goldens/pose_best.json`` holds the top-3 matches (tmpl_idx, score,
+2x3 transform) for all 40 bundled pose scenes, generated once on the CPU
+backend by ``scripts/make_goldens.py`` with the reference-exact greedy
+pipeline (pose-notebook config, ``pose_extimation_example.ipynb`` cell 13).
+Any drift in match ranking — from kernel changes, sharding, or backend
+differences — fails here.
+
+The default lane re-runs obj_01's 10 scenes (compile-cache-warm ~1 min);
+the full 4-object sweep runs under ``OPENFDCM_SLOW_TESTS=1``.
+Tolerances follow the reference's own integration test
+(``tests/matching/src/matchstrategy.test.cpp:63-64``): scores to f32
+round-off, transforms to 1e-4.
+"""
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+import openfdcm_tpu as of
+
+ASSETS = "/root/reference/notebooks/assets"
+GOLDENS = os.path.join(os.path.dirname(__file__), "goldens", "pose_best.json")
+SLOW = os.environ.get("OPENFDCM_SLOW_TESTS") == "1"
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.isdir(ASSETS) and os.path.exists(GOLDENS)),
+    reason="bundled pose assets or goldens not present")
+
+
+def _run_object(obj):
+    templates = [of.read(p) for p in sorted(
+        glob.glob(f"{ASSETS}/{obj}/templates/*.tmpl"))]
+    scene_paths = sorted(glob.glob(f"{ASSETS}/{obj}/scene_*/camera_0.scene"))
+    scenes = [of.read(p) for p in scene_paths]
+    params = of.Dt3Params(30, 5.0, 1.0, of.Distance.L2)
+    res = of.match_many(scenes, of.prepare_templates(templates), params,
+                        of.DefaultSearch(4, 10), of.BatchOptimize(10),
+                        penalty=of.ExponentialPenalty(1.5),
+                        template_lengths=of.get_template_lengths(templates),
+                        top_k=3)
+    return scene_paths, res
+
+
+@pytest.mark.parametrize("obj", ["obj_01"] if not SLOW
+                         else ["obj_01", "obj_02", "obj_03", "obj_04"])
+def test_pose_scene_goldens(obj):
+    with open(GOLDENS) as f:
+        goldens = json.load(f)
+    scene_paths, res = _run_object(obj)
+    assert scene_paths, f"no scenes for {obj}"
+    for path, matches in zip(scene_paths, res):
+        key = os.path.relpath(path, ASSETS)
+        want = goldens[key]
+        got = matches[: len(want)]
+        for rank, (w, g) in enumerate(zip(want, got)):
+            assert g.tmpl_idx == w["tmpl_idx"], \
+                f"{key} rank {rank}: tmpl {g.tmpl_idx} != golden {w['tmpl_idx']}"
+            assert abs(g.score - w["score"]) <= 1e-5 + 1e-4 * abs(w["score"]), \
+                f"{key} rank {rank}: score {g.score} != golden {w['score']}"
+            np.testing.assert_allclose(
+                np.asarray(g.transform, np.float32),
+                np.asarray(w["transform"], np.float32), atol=1e-4,
+                err_msg=f"{key} rank {rank} transform drifted")
