@@ -139,7 +139,11 @@ def _straggler(state, sign, t_lim, chain_cov, walk, eval_at, window, m,
     full coverage even for steep rays; walks rarely go further) — then a
     small lockstep XLA walk backstop, then a full-width walk that only
     iterates in the (never-seen) overflow case."""
-    b_ext = max(256, m // 16)
+    # b_ext MUST be a multiple of 8: it becomes the ext kernel's c_dim, and
+    # the kernel's accumulator writes full 8-sublane slot blocks (a partial
+    # last block is an out-of-bounds VMEM write -> TPU runtime crash; hit
+    # via the genpairs path where m = 9120 gave b_ext = 570).
+    b_ext = max(256, -(-(m // 16) // 8) * 8)
     sel = _compact_sel(state[3], b_ext, m)
     sub = tuple(x[sel] for x in state)
     scores, cover = ext_eval(sel, ~sub[3], sign, sub[4])

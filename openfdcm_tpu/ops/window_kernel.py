@@ -209,6 +209,17 @@ def window_scores_device(dt3, dt3t, fields, *, s_dim, c_dim, depth, q,
     """Run the kernel.  ``fields``: ``(N, NF)`` f32, N a multiple of IB,
     sorted by ``F_SID``.  Returns ``(S, C, K_LANES)`` f32 (S = 1 when
     ``single_flush``)."""
+    # The accumulator slot write covers a full 8-sublane block
+    # (``acc[pl.ds((slot//8)*8, 8)]``): a c_dim that is not a multiple of 8
+    # would write past the scratch for slots in the last partial block — an
+    # out-of-bounds VMEM access that CRASHES the TPU runtime (r2's bench
+    # wedge: the straggler pass compacted to b_ext=570 candidates).
+    if c_dim % 8:
+        c_pad = -(-c_dim // 8) * 8
+        out = window_scores_device(dt3, dt3t, fields, s_dim=s_dim,
+                                   c_dim=c_pad, depth=depth, q=q,
+                                   single_flush=single_flush)
+        return out[:, :c_dim]
     n = fields.shape[0]
     out_s = 1 if single_flush else s_dim
     return pl.pallas_call(
@@ -425,6 +436,15 @@ def window_scores_device_v3(banks, fields, *, s_dim, c_dim, depth, q,
                             two_sided=True, single_flush=False):
     """Run the v3 kernel.  ``banks``: the 4-tuple from
     :func:`prep_dt3_banks`; ``fields``: ``(N, NF3)`` f32 sorted by sid."""
+    if c_dim % 8:
+        # See window_scores_device: a non-multiple-of-8 c_dim makes the
+        # slot-block accumulator write run off the VMEM scratch.
+        c_pad = -(-c_dim // 8) * 8
+        out = window_scores_device_v3(banks, fields, s_dim=s_dim,
+                                      c_dim=c_pad, depth=depth, q=q,
+                                      two_sided=two_sided,
+                                      single_flush=single_flush)
+        return out[:, :c_dim]
     n = fields.shape[0]
     out_s = 1 if single_flush else s_dim
     return pl.pallas_call(

@@ -112,6 +112,9 @@ def test_match_many_devpairs_equals_host():
             sorted((round(m.score, 6), m.tmpl_idx) for m in d)
 
 
+@pytest.mark.skipif(os.environ.get("OPENFDCM_SLOW_TESTS") != "1",
+                    reason="slow integration lane (OPENFDCM_SLOW_TESTS=1); "
+                           "core behavior covered by sibling tests")
 def test_match_many_devpairs_scene_mesh():
     from openfdcm_tpu.parallel import make_mesh
     templates = [np.asarray(create_lines(4 + (i % 5), 40.0 + 10.0 * (i % 3)))

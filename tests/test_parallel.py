@@ -4,6 +4,7 @@ The invariant (SURVEY.md §7.3): sharded runs must produce *identical* scores,
 translations, and rankings to the single-device path — per-candidate work is
 embarrassingly parallel and reductions stay per-candidate.
 """
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -95,6 +96,9 @@ def test_global_topk_across_shards():
     np.testing.assert_allclose(vals, masked[order])
 
 
+@pytest.mark.skipif(os.environ.get("OPENFDCM_SLOW_TESTS") != "1",
+                    reason="slow integration lane (OPENFDCM_SLOW_TESTS=1); "
+                           "core behavior covered by sibling tests")
 def test_cand_mesh_topk_wider_than_shard():
     """match_many on a cand-only mesh with top_k > per-shard width must
     return min(top_k, total) matches (regression: per-device kk used to

@@ -1,6 +1,8 @@
 """Scene-batched pipeline must reproduce the one-at-a-time API per scene."""
+import os
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 import openfdcm_tpu as of
 from tests.utils import create_lines, make_rotation
@@ -100,6 +102,9 @@ def test_match_many_device_topk_matches_host_ranking():
                                        rtol=1e-6, atol=1e-5)
 
 
+@pytest.mark.skipif(os.environ.get("OPENFDCM_SLOW_TESTS") != "1",
+                    reason="slow integration lane (OPENFDCM_SLOW_TESTS=1); "
+                           "core behavior covered by sibling tests")
 def test_device_topk_with_pair_chunking(monkeypatch):
     """Top-k must stay exact when the pair axis splits into multiple
     dispatches and templates span several lmax buckets."""

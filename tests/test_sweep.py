@@ -1,5 +1,6 @@
 """Resumable sweep: chunked + interrupted runs must equal one
 ``match_many`` over the whole bank."""
+import os
 import numpy as np
 import pytest
 
@@ -40,6 +41,9 @@ def _assert_equal(a, b):
             sorted((round(m.score, 5), m.tmpl_idx) for m in y)
 
 
+@pytest.mark.skipif(os.environ.get("OPENFDCM_SLOW_TESTS") != "1",
+                    reason="slow integration lane (OPENFDCM_SLOW_TESTS=1); "
+                           "core behavior covered by sibling tests")
 def test_sweep_equals_match_many(tmp_path):
     templates, scenes = _setup()
     k = 5

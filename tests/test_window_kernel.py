@@ -169,6 +169,55 @@ def test_window_scores_interpret_matches_xla(interpret_kernel, version):
     assert (rel[check] < 1e-5).all(), rel[check].max()
 
 
+@pytest.mark.parametrize("version", [2, 3])
+def test_window_scores_c_dim_not_multiple_of_8(interpret_kernel, version):
+    """Regression (r3): a candidate count that is not a multiple of 8 must
+    pad the kernel's accumulator c_dim — the slot write covers full
+    8-sublane blocks, and an unpadded partial block is an out-of-bounds
+    VMEM write that crashed the TPU runtime (the r2 bench wedge, reached
+    via the genpairs straggler pass with b_ext=570)."""
+    rng = np.random.default_rng(3)
+    s, c, l, d, q = 1, 6, 3, 4, 256          # c = 6: partial slot block
+    dt3 = jnp.asarray(rng.uniform(0, 100, (s, d, q, q)).astype(np.float32))
+    scene_tr = jnp.asarray(rng.uniform(10, 30, (s, 2)).astype(np.float32))
+    center = rng.uniform(q * 0.4, q * 0.6, (s, c, l, 2)).astype(np.float32)
+    delta = rng.uniform(-8, 8, (s, c, l, 2)).astype(np.float32)
+    cand_lines = jnp.asarray(
+        np.concatenate([center - delta, center + delta], axis=-1)
+        - np.concatenate([scene_tr, scene_tr], axis=-1)[:, None, None, :])
+    cand_mask = jnp.ones((s, c, l), bool)
+    ang = rng.uniform(0, 2 * np.pi, (s, c)).astype(np.float32)
+    align = jnp.asarray(np.stack([np.cos(ang), np.sin(ang)], -1))
+    rast = ras.rasterize_vector(align)
+    valid = jnp.ones((s, c), bool)
+    slice_idx = jnp.asarray(rng.integers(0, d, (s, c, l)).astype(np.int32))
+
+    entry = wk.window_scores if version == 2 else wk.window_scores_v3
+    kout, tc = entry(dt3, scene_tr, cand_lines, cand_mask, rast,
+                     valid, slice_idx)
+    assert kout.shape == (s, c, wk.K_LANES)
+
+    lane = jnp.arange(wk.K_LANES)
+    mm = jnp.where(lane < wk.K_POS, lane, -(lane - (wk.K_POS - 1))) \
+        .astype(jnp.float32)
+    trans = scene_tr[:, None, None, :] + \
+        mm[None, None, :, None] * rast[:, :, None, :]
+
+    def one(dt3_s, si, ep, lm, tr):
+        return fm.evaluate_batched(dt3_s.reshape(-1), (q, q), si, ep, lm, tr)
+    xout = jax.vmap(one)(dt3, slice_idx,
+                         cand_lines.reshape(s, c, l, 2, 2),
+                         cand_mask.astype(jnp.float32), trans)
+    m_abs = np.where(np.arange(wk.K_LANES) < wk.K_POS,
+                     np.arange(wk.K_LANES),
+                     np.arange(wk.K_LANES) - (wk.K_POS - 1))
+    check = (m_abs[None, None, :] <= np.asarray(tc)[:, :, None])
+    kn, xn = np.asarray(kout), np.asarray(xout)
+    rel = np.abs(kn - xn) / np.maximum(np.abs(xn), 1.0)
+    assert check.sum() > 100
+    assert (rel[check] < 1e-5).all(), rel[check].max()
+
+
 def test_match_many_scene_mesh_kernel(interpret_kernel):
     """Scene-sharded mesh + kernel path (per-device Pallas in shard_map,
     interpreter mode) matches the meshless XLA path."""
