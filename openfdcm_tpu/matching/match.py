@@ -147,13 +147,15 @@ _search_device = partial(jax.jit, static_argnames=(
 def _search_device_batch(tmpl_lines, tmpl_mask, pair_t, pair_tl, pair_sl,
                          scenes, dt3_flat, angles, scene_tr, feature_size,
                          *, lmax, hw, mode, window, dense_steps,
-                         use_kernel=False, items_cap=None):
+                         use_kernel=False, items_cap=None, cand_ok=None):
     """Scene-batched search: one dispatch scores a whole scene batch.
     Leading axis S on ``pair_*``, ``scenes``, ``dt3_flat``, ``scene_tr``,
     ``feature_size``; the template bank and angles are shared.
 
     ``use_kernel``: route the optimizer through the Pallas window kernel
-    (:mod:`openfdcm_tpu.matching.optimize_kernel`)."""
+    (:mod:`openfdcm_tpu.matching.optimize_kernel`).
+    ``cand_ok``: optional ``(S, 2P)`` caller-side candidate mask folded
+    into validity (masked candidates skip scoring work entirely)."""
     if use_kernel:
         from .optimize_kernel import optimize_candidates_batch_kernel
         depth = angles.shape[0]
@@ -173,7 +175,8 @@ def _search_device_batch(tmpl_lines, tmpl_mask, pair_t, pair_tl, pair_sl,
         cl, cm, ca, mats = jax.vmap(gen)(pair_t, pair_tl, pair_sl, scenes)
         scores, translations, valid = optimize_candidates_batch_kernel(
             dt3, angles, scene_tr, feature_size, cl, cm, ca,
-            mode=mode, window=max(window, 1), items_cap=items_cap)
+            mode=mode, window=max(window, 1), items_cap=items_cap,
+            cand_ok=cand_ok)
         mats = mats.at[..., 2].add(translations)
         return scores, mats, valid
 
@@ -260,11 +263,15 @@ def _search_device_batch_topk_genpairs(tmpl_lines, tmpl_mask, top_vals, ord_t,
         jnp.repeat(ord_t.reshape(-1).astype(jnp.int32), ms)[None],
         (s_count, p))
 
+    # Invalid windows (rank_ok false / beyond the valid scene lines) are
+    # masked at top-k anyway; folding them into candidate validity keeps
+    # them out of the kernel item stream and straggler passes, and makes
+    # the host-computed items_cap exact (pipeline._genpairs_items).
     scores, mats, valid = _search_device_batch(
         tmpl_lines, tmpl_mask, pair_t, pair_tl, sl, scenes, dt3_flat,
         angles, scene_tr, feature_size, lmax=lmax, hw=hw, mode=mode,
         window=window, dense_steps=dense_steps, use_kernel=use_kernel,
-        items_cap=items_cap)
+        items_cap=items_cap, cand_ok=jnp.repeat(wok, 2, axis=1))
     tof = jnp.repeat(pair_t, 2, axis=1)
     pen = jnp.where(jnp.isnan(tau), 1.0,
                     jnp.power(jnp.maximum(lengths[tof], 1e-6), tau))

@@ -168,12 +168,17 @@ def optimize_candidates_batch_kernel(dt3, angles, scene_tr, feature_size,
                                      cand_lines, cand_mask, cand_align, *,
                                      mode: str, window: int,
                                      items_cap: int | None = None,
-                                     skip_straggler: bool = False):
+                                     skip_straggler: bool = False,
+                                     cand_ok=None):
     """Scene-batched optimize using the Pallas window kernel.
 
     ``dt3``: ``(S, D, Q, Q)``; ``cand_lines``: ``(S, C, L, 4)``;
     ``cand_mask``: ``(S, C, L)``; ``cand_align``: ``(S, C, 2)``;
     ``scene_tr`` / ``feature_size``: ``(S, 2)``.
+    ``cand_ok``: optional ``(S, C)`` — candidates the caller will mask out
+    anyway (e.g. invalid search windows on the on-device pair-generation
+    path); folding them into ``valid`` here keeps them out of the kernel
+    item stream AND the straggler passes.
     Returns ``(scores (S, C), translations (S, C, 2), valid (S, C))``.
     """
     s, d, q, _ = dt3.shape
@@ -187,6 +192,8 @@ def optimize_candidates_batch_kernel(dt3, angles, scene_tr, feature_size,
         cand_lines, rast, feature_size[:, None, :],
         scene_tr[:, None, :], cand_mask)
     valid = jnp.isfinite(neg) & jnp.isfinite(pos) & ~null_align
+    if cand_ok is not None:
+        valid = valid & cand_ok
 
     theta = geo.get_angle(cand_lines)                     # (S, C, L)
     slice_idx = fm.closest_orientation_idx(angles, theta)

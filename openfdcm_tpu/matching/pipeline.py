@@ -522,11 +522,22 @@ def _genpairs_batch_arrays(searcher, optimizer, featuremaps, bank, arrs,
         sub_scene = jnp.asarray(scene_arr[pad_np])
         sub_slen = jnp.asarray(slen_arr[pad_np])
         sub_valid = jnp.asarray(svalid_arr[pad_np])
+        # Exact per-scene real-item counts: a (template, rank, window-slot)
+        # candidate is real iff rank < k_t AND slot < min(ms, n_eff_scene);
+        # everything else is masked into validity (match.py cand_ok) and
+        # sorts to the end of the kernel item stream, so the cap can trim
+        # it — previously the cap covered the full grid and the kernel
+        # walked ~40% masked items.
+        n_eff = np.asarray([int(v.sum()) for v in svalid_arr[pad_np]],
+                           np.int64)
         parts = []
         for t0 in range(0, t_count, t_chunk):
             t1 = min(t0 + t_chunk, t_count)
             k_sh = max(s_chunk // n_dp, 1)      # scenes per device
-            items = int(2 * mt * ms * counts[t0:t1].sum()) * k_sh + k_sh
+            kc = np.minimum(counts[t0:t1], mt)          # k_t per template
+            lines_per_rank = int((kc * counts[t0:t1]).sum())
+            per_scene = 2 * lines_per_rank * np.minimum(n_eff, ms) + 1
+            items = int(per_scene.reshape(-1, k_sh).sum(axis=1).max())
             kk = min(top_k, 2 * (t1 - t0) * mt * ms)
             static = dict(lmax=lmax, hw=(ph, pw), mode=mode,
                           window=max(window, 1), dense_steps=dense_steps,

@@ -43,6 +43,13 @@ from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 from openfdcm_tpu.ops import window_kernel as wk  # noqa: E402
 
 
+def sync(x):
+    """Honest completion through the axon relay: block_until_ready returns
+    before remote execution finishes (the relay acks the enqueue), so force
+    a tiny d2h readback instead."""
+    return float(jnp.sum(x.reshape(-1)[:2]))
+
+
 def _kernel_v3_phase(fields_ref, dt3_ref, dt3r_ref, dt3t_ref, dt3tr_ref,
                      out_ref, slab, acc, state, sem, *, s_dim, c_dim, depth,
                      q, phase):
@@ -102,12 +109,24 @@ def _kernel_v3_phase(fields_ref, dt3_ref, dt3r_ref, dt3t_ref, dt3tr_ref,
             state[0] = sid
             state[1] = b
 
+        if phase == "noop_bare":
+            # loop + sid state machine only: no wt branch, no acc write
+            return 0
         wt = fields_ref[it, wk.G_WT]
+        if phase == "noop_fixedacc":
+            # unconditional accumulate at a FIXED base: isolates the cost of
+            # the dynamic-base VMEM read-modify-write vs a static one
+            acc[pl.ds(0, 8), :] = acc[pl.ds(0, 8), :] + wt
+            return 0
 
         @pl.when(wt > 0.0)
         def _():
             slot = fields_ref[it, wk.G_SLOT].astype(jnp.int32)
             base_s = pl.multiple_of((slot // 8) * 8, 8)
+            if phase == "noop_noacc":
+                # scalar reads + branch, no accumulator write
+                state[2] = slot
+                return
             if phase == "noop":
                 acc[pl.ds(base_s, 8), :] = acc[pl.ds(base_s, 8), :] + wt
                 return
@@ -239,19 +258,35 @@ def main():
     n = fields.shape[0]
     print(f"{n} items, q={q}, depth={depth}, c_dim={c_dim}, reps={reps}")
 
+    # Relay round-trip floor: a trivial dispatch + 2-float d2h.  Every
+    # wall below includes this constant; report raw and rtt-corrected.
+    tiny = jnp.ones((8, 128), jnp.float32)
+    tiny_fn = jax.jit(lambda x: x + 1.0)
+    sync(tiny_fn(tiny))
+    rtts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(tiny_fn(tiny))
+        rtts.append(time.perf_counter() - t0)
+    rtt = sorted(rtts)[len(rtts) // 2]
+    print(f"relay rtt floor: {rtt*1e3:.2f} ms (min {min(rtts)*1e3:.2f})")
+
     results = {}
-    for phase in ["noop", "one_chunk", "no_lane", "one_ep", "full"]:
+    for phase in ["noop_bare", "noop_fixedacc", "noop_noacc", "noop",
+                  "one_chunk", "no_lane", "one_ep", "full"]:
         fn = jax.jit(partial(run_phase, s_dim=1, c_dim=c_dim, depth=depth,
                              q=q, phase=phase))
-        out = jax.block_until_ready(fn(banks, fields))    # compile
+        sync(fn(banks, fields))                           # compile
         walls = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = jax.block_until_ready(fn(banks, fields))
+            sync(fn(banks, fields))
             walls.append(time.perf_counter() - t0)
         med = sorted(walls)[len(walls) // 2]
         results[phase] = med
-        print(f"v3/{phase:10s}: {med*1e3:8.2f} ms  {med/n*1e9:7.1f} ns/item  "
+        corr = max(med - rtt, 0.0)
+        print(f"v3/{phase:13s}: {med*1e3:8.2f} ms  {med/n*1e9:7.1f} ns/item "
+              f"raw, {corr/n*1e9:7.1f} rtt-corrected  "
               f"(min {min(walls)/n*1e9:.1f}, max {max(walls)/n*1e9:.1f})")
 
     # v2 for the same stream: build an equivalent NF-layout fields array
@@ -290,15 +325,17 @@ def main():
     fn2 = jax.jit(partial(wk.window_scores_device, s_dim=1, c_dim=c_dim,
                           depth=depth, q=q))
     f2j = jnp.asarray(f2)
-    out = jax.block_until_ready(fn2(dt3, dt3t, f2j))
+    sync(fn2(dt3, dt3t, f2j))
     walls = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn2(dt3, dt3t, f2j))
+        sync(fn2(dt3, dt3t, f2j))
         walls.append(time.perf_counter() - t0)
     med = sorted(walls)[len(walls) // 2]
     results["v2"] = med
-    print(f"v2/full      : {med*1e3:8.2f} ms  {med/n*1e9:7.1f} ns/item  "
+    corr = max(med - rtt, 0.0)
+    print(f"v2/full         : {med*1e3:8.2f} ms  {med/n*1e9:7.1f} ns/item "
+          f"raw, {corr/n*1e9:7.1f} rtt-corrected  "
           f"(min {min(walls)/n*1e9:.1f}, max {max(walls)/n*1e9:.1f})")
 
     noop = results["noop"] / n * 1e9
