@@ -136,7 +136,10 @@ def protocol(backend: str) -> dict:
     # A CPU run (dead relay) measures the same metric on a scene subset and
     # a single steady-state loop — the full 40-scene x 4-loop protocol
     # takes >1 h on CPU and would time out the bench driver.
-    n_loops = 3
+    # 5 loops on TPU: the tunneled relay's per-loop wall varies +-15%
+    # between runs, so a wider median stabilizes the record at trivial cost
+    # (~1 s/loop vs a multi-minute warmup).
+    n_loops = 5
     if backend != "tpu":
         scenes = scenes[:4]
         n_loops = 1

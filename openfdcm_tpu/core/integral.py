@@ -63,6 +63,9 @@ def _deltas(r: np.float32, n: int) -> np.ndarray:
     return d
 
 
+_SWEEP_UNROLL = 8
+
+
 def _sweep_scan(img: jax.Array, deltas_by_col: jax.Array, flip: bool) -> jax.Array:
     """Integrate along axis 1 in sweep order.
 
@@ -76,19 +79,44 @@ def _sweep_scan(img: jax.Array, deltas_by_col: jax.Array, flip: bool) -> jax.Arr
     only accumulates zeros, so every logical column sees exactly the
     reference carry — no permutation gathers needed.  ``deltas_by_col``
     holds each column's sweep-position delta.
+
+    The scan is UNROLLED ``_SWEEP_UNROLL`` columns per step: the per-step
+    math is a handful of ops on an ``(H,)`` carry, so a W-step scan is
+    scan-overhead-bound on TPU (~27 ms of a 10-scene pose build); the
+    unrolled inner loop keeps the exact sequential accumulation order
+    (bit-identical results) at 1/8 the step count.
     """
     cols = img.T  # (W, H)
+    w = cols.shape[0]
+    k = _SWEEP_UNROLL
+    pad = (-w) % k
+    if pad:
+        # Zero columns with delta 0 cannot perturb any carry: appended at
+        # the physical end they are swept last (forward) or first (flip),
+        # contributing zero either way.
+        cols = jnp.concatenate(
+            [cols, jnp.zeros((pad,) + cols.shape[1:], cols.dtype)], axis=0)
+        deltas_by_col = jnp.concatenate(
+            [deltas_by_col, jnp.zeros((pad,), deltas_by_col.dtype)])
+    blocks = cols.reshape(-1, k, cols.shape[1])
+    dblocks = deltas_by_col.reshape(-1, k)
 
     def step(carry, inp):
-        col, d = inp
-        down = jnp.concatenate([jnp.zeros_like(carry[:1]), carry[:-1]])
-        up = jnp.concatenate([carry[1:], jnp.zeros_like(carry[:1])])
-        shifted = jnp.where(d == 1, down, jnp.where(d == -1, up, carry))
-        new = col + shifted
-        return new, new
+        colb, db = inp                     # (k, H), (k,)
+        outs = [None] * k
+        order = range(k - 1, -1, -1) if flip else range(k)
+        for t in order:                    # sequential within the block
+            col, d = colb[t], db[t]
+            down = jnp.concatenate([jnp.zeros_like(carry[:1]), carry[:-1]])
+            up = jnp.concatenate([carry[1:], jnp.zeros_like(carry[:1])])
+            carry = col + jnp.where(d == 1, down,
+                                    jnp.where(d == -1, up, carry))
+            outs[t] = carry
+        return carry, jnp.stack(outs)
 
     _, out = jax.lax.scan(step, jnp.zeros_like(cols[0]),
-                          (cols, deltas_by_col), reverse=flip)
+                          (blocks, dblocks), reverse=flip)
+    out = out.reshape(-1, cols.shape[1])[:w]
     return out.T  # (H, W), already in physical column order
 
 

@@ -113,13 +113,22 @@ def _kernel_v3_phase(fields_ref, dt3_ref, dt3r_ref, dt3t_ref, dt3tr_ref,
             # loop + sid state machine only: no wt branch, no acc write
             return 0
         wt = fields_ref[it, wk.G_WT]
+        run_branchless = phase in ("nobranch", "nobranch_half")
         if phase == "noop_fixedacc":
             # unconditional accumulate at a FIXED base: isolates the cost of
             # the dynamic-base VMEM read-modify-write vs a static one
             acc[pl.ds(0, 8), :] = acc[pl.ds(0, 8), :] + wt
             return 0
 
-        @pl.when(wt > 0.0)
+        def guarded(body):
+            # branchless phases: execute unconditionally (wt multiplies to
+            # zero); baseline phases: skip masked items via pl.when
+            if run_branchless:
+                body()
+                return body
+            return pl.when(wt > 0.0)(body)
+
+        @guarded
         def _():
             slot = fields_ref[it, wk.G_SLOT].astype(jnp.int32)
             base_s = pl.multiple_of((slot // 8) * 8, 8)
@@ -273,14 +282,20 @@ def main():
 
     results = {}
     for phase in ["noop_bare", "noop_fixedacc", "noop_noacc", "noop",
-                  "one_chunk", "no_lane", "one_ep", "full"]:
+                  "one_chunk", "no_lane", "one_ep", "full", "nobranch",
+                  "nobranch_half"]:
+        fields_use = fields
+        if phase == "nobranch_half":
+            f2h = np.asarray(fields).copy()
+            f2h[::2, wk.G_WT] = 0.0                       # 50% masked
+            fields_use = jnp.asarray(f2h)
         fn = jax.jit(partial(run_phase, s_dim=1, c_dim=c_dim, depth=depth,
                              q=q, phase=phase))
-        sync(fn(banks, fields))                           # compile
+        sync(fn(banks, fields_use))                       # compile
         walls = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            sync(fn(banks, fields))
+            sync(fn(banks, fields_use))
             walls.append(time.perf_counter() - t0)
         med = sorted(walls)[len(walls) // 2]
         results[phase] = med
