@@ -252,12 +252,22 @@ def propagation_steps(angles, coeff: float):
 
 def propagate_orientation_relax(dt3: jax.Array, steps) -> jax.Array:
     """Reference-order sequential relaxation across the orientation axis
-    (``dt3cpu.cpp:77-107``), unrolled — XLA fuses the 3*depth elementwise
-    min-adds into a single memory pass, ~25x faster on TPU than the wmat
-    scan form and bit-faithful to the reference's update order.
+    (``dt3cpu.cpp:77-107``).
+
+    On TPU with tile-aligned stacks this runs as a Pallas kernel that holds
+    each (D, TH, W) tile in VMEM for all 3·depth min-add steps — one HBM
+    pass, bit-identical update order (:mod:`openfdcm_tpu.ops.prop_kernel`).
+    Elsewhere it unrolls the chain in XLA (bit-faithful, many passes).
 
     ``dt3``: ``(..., D, H, W)``; ``steps`` from :func:`propagation_steps`.
     """
+    import os
+    from ..ops import prop_kernel
+    flag = os.environ.get("OPENFDCM_TPU_PROP_KERNEL", "auto")
+    if flag != "0" and prop_kernel.supported(dt3.shape) and (
+            flag == "1" or jax.default_backend() == "tpu"):
+        return prop_kernel.propagate_orientation_tpu(
+            dt3, steps, interpret=jax.default_backend() != "tpu")
     d = dt3.shape[-3]
     sl = [dt3[..., i, :, :] for i in range(d)]
     for c1, c2, w in steps:

@@ -140,31 +140,49 @@ def _straggler(state, sign, t_lim, chain_cov, walk, eval_at, window, m,
     small lockstep XLA walk backstop, then a full-width walk that only
     iterates in the (never-seen) overflow case.
 
-    The whole machinery runs under a runtime ``lax.cond``: most dispatches
-    finish every walk inside the kernel's covered window (measured median
-    stop 1, p99 ~21 < TC_MAX=30), and the compaction sorts / scatter-backs
-    / extension kernel cost ~11 ms/scene when they run — pay that only
-    when a walker is actually live."""
-    def run(state):
+    The machinery runs under a runtime ``lax.switch`` ladder on the live
+    count: 0 live -> identity; few live -> a small extension pass; many ->
+    the full-size one.  The ext kernel's cost scales with its static
+    ``b_ext`` (masked items cost the same as real ones — measured r3), so
+    matching its size to the live population is the whole game.  Any
+    walker beyond the chosen rung's capacity still finishes correctly via
+    the tail / full-width backstop walks."""
+    def run_with(b_ext):
         # b_ext MUST be a multiple of 8: it becomes the ext kernel's c_dim,
         # and the kernel's accumulator writes full 8-sublane slot blocks (a
         # partial last block is an out-of-bounds VMEM write -> TPU runtime
         # crash; hit via the genpairs path where m = 9120 gave b_ext = 570).
-        b_ext = max(256, -(-(m // 16) // 8) * 8)
-        sel = _compact_sel(state[3], b_ext, m)
-        sub = tuple(x[sel] for x in state)
-        scores, cover = ext_eval(sel, ~sub[3], sign, sub[4])
-        tc_abs = sub[4] + cover.astype(jnp.float32)
-        sub = chain_cov(scores, t_lim[sel], tc_abs, sub, sign)
-        state = tuple(x.at[sel].set(v) for x, v in zip(state, sub))
-        b_tail = max(64, m // 64)
-        sel = _compact_sel(state[3], b_tail, m)
-        sub = tuple(x[sel] for x in state)
-        sub = walk(eval_at(sign, window, sel), t_lim[sel], sub, sign, window)
-        state = tuple(x.at[sel].set(v) for x, v in zip(state, sub))
-        return walk(eval_at(sign, window), t_lim, state, sign, window)
+        def run(state):
+            sel = _compact_sel(state[3], b_ext, m)
+            sub = tuple(x[sel] for x in state)
+            scores, cover = ext_eval(sel, ~sub[3], sign, sub[4])
+            tc_abs = sub[4] + cover.astype(jnp.float32)
+            sub = chain_cov(scores, t_lim[sel], tc_abs, sub, sign)
+            state = tuple(x.at[sel].set(v) for x, v in zip(state, sub))
+            # Escalating compacted lockstep walks: the narrow first rung
+            # carries the (few, far-walking) survivors of the ext pass at a
+            # small per-iteration eval; the wider rungs only pay their
+            # any-live reduce when the narrow rung already finished everyone.
+            tails = sorted({min(m, max(64, m // 512)),
+                            min(m, max(64, m // 64))})
+            for b_tail in tails:
+                sel = _compact_sel(state[3], b_tail, m)
+                sub = tuple(x[sel] for x in state)
+                sub = walk(eval_at(sign, window, sel), t_lim[sel], sub, sign,
+                           window)
+                state = tuple(x.at[sel].set(v) for x, v in zip(state, sub))
+            return walk(eval_at(sign, window), t_lim, state, sign, window)
+        return run
 
-    return jax.lax.cond(jnp.any(~state[3]), run, lambda s: s, state)
+    b_small = max(256, -(-(m // 32) // 8) * 8)
+    b_big = max(256, -(-(m // 16) // 8) * 8)
+    live = jnp.sum(~state[3])
+    if b_small >= b_big:
+        return jax.lax.cond(live > 0, run_with(b_big), lambda s: s, state)
+    branch = jnp.where(live == 0, 0, jnp.where(live <= b_small, 1, 2))
+    return jax.lax.switch(branch,
+                          [lambda s: s, run_with(b_small), run_with(b_big)],
+                          state)
 
 
 # ---------------------------------------------------------------------------

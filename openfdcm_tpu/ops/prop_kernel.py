@@ -1,0 +1,58 @@
+"""Pallas TPU kernel for orientation propagation (DT3 relaxation).
+
+The reference relaxes across the orientation axis with 3·depth sequential
+image-wide min-adds (``dt3cpu.cpp:77-107``).  The XLA unrolled form
+(:func:`openfdcm_tpu.matching.featuremap.propagate_orientation_relax`) is
+bit-faithful but streams the (D, H, W) stack from HBM many times — XLA does
+not fuse a 90-op dependent chain over 30 distinct slices into one pass
+(measured ~33 ms for a 10×30×640² stack, ~11% of HBM peak).
+
+This kernel performs the SAME update sequence on (D, TH, W) tiles resident
+in VMEM: every pixel column of the tile sees the exact reference update
+order, so results are bit-identical, while HBM traffic drops to one read +
+one write of the stack (~2 ms at peak for the pose build).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_H = 16
+
+
+def _prop_kernel(x_ref, o_ref, *, steps):
+    o_ref[...] = x_ref[...]
+    for c1, c2, w in steps:
+        o_ref[c2] = jnp.minimum(o_ref[c2], o_ref[c1] + jnp.float32(w))
+
+
+def supported(shape) -> bool:
+    """Tile-aligned stacks only; callers fall back to the XLA form."""
+    if len(shape) < 3:
+        return False
+    d, h, w = shape[-3:]
+    return h % TILE_H == 0 and w % 128 == 0
+
+
+def propagate_orientation_tpu(dt3: jax.Array, steps, *,
+                              interpret: bool = False) -> jax.Array:
+    """Relax ``dt3 (..., D, H, W)`` with the reference's sequential schedule
+    ``steps`` (from :func:`featuremap.propagation_steps`), one HBM pass."""
+    *lead, d, h, w = dt3.shape
+    x = dt3.reshape((-1, d, h, w))
+    b = x.shape[0]
+    out = pl.pallas_call(
+        partial(_prop_kernel, steps=tuple(steps)),
+        grid=(b, h // TILE_H),
+        in_specs=[pl.BlockSpec((None, d, TILE_H, w),
+                               lambda i, j: (i, 0, j, 0))],
+        out_specs=pl.BlockSpec((None, d, TILE_H, w),
+                               lambda i, j: (i, 0, j, 0)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(x)
+    return out.reshape(dt3.shape)

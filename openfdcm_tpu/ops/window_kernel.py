@@ -51,10 +51,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 K_LANES = 128          # 64 positive steps (incl. m=0) + 64 negative steps
 K_POS = 64             # lane l < 64: m = +l
-TC_MAX = 30            # max covered steps per direction (tunable; beyond
-                       # this the straggler walk continues — walks are short).
-                       # The y-budget already caps steep rays harder; 30 only
-                       # lifts shallow rays (3 full batches at batch=10).
+TC_MAX = 62            # max covered steps per direction.  The kernel computes
+                       # all 128 lanes per item regardless of tc, so coverage
+                       # is free up to the lane pattern's +-62; v3 items are
+                       # additionally capped per candidate by x_fit (the widest
+                       # symmetric window around each endpoint's base column
+                       # that fits ONE aligned 128-chunk, plain or 64-rolled;
+                       # always >= 31) and by the y budget for steep rays.
 NCH = 4                # max 8-row chunks per patch (steeper candidates get
                        # a smaller covered window instead of a taller patch)
 PATCH_W = 256          # two 128-lane chunks
@@ -525,6 +528,21 @@ def build_fields_v3(cand_lines, cand_mask, rast, valid, slice_idx, scene_tr,
     e_y = ep[..., 1]
     e_maj = jnp.where(is_x_major[..., None, None], e_x, e_y)
     e_min = jnp.where(is_x_major[..., None, None], e_y, e_x)
+
+    # x_fit: widest symmetric step window around each endpoint's base column
+    # that fits ONE aligned 128-lane chunk — plain ([k*128, k*128+128)) or
+    # 64-rolled.  The kernel picks whichever chunk the window doesn't cross,
+    # so capping tc at the candidate's min x_fit guarantees a valid single
+    # chunk for every line endpoint.  x_fit >= 31 for any column, so this
+    # never reduces coverage below the old TC_MAX=30; most candidates gain.
+    c0 = (e_maj + trx[..., None, None]).astype(jnp.int32)   # (S, C, L, 2)
+    u = c0 % 128
+    fit_plain = jnp.minimum(u, 127 - u)
+    v = (c0 - 64) % 128
+    fit_roll = jnp.minimum(v, 127 - v)
+    x_fit = jnp.maximum(fit_plain, fit_roll)
+    x_fit = jnp.where(cand_mask[..., None], x_fit, 127)
+    tc = jnp.minimum(tc, jnp.min(x_fit, axis=(-1, -2)).astype(jnp.float32))
 
     dev = _identity_deviance(jnp.where(cand_mask[..., None], e_maj, 0.0),
                              trx, vx, tc)                 # (S, C, L)
