@@ -316,15 +316,21 @@ def optimize_candidates_batch_kernel(dt3, angles, scene_tr, feature_size,
 
 
 def cap_bucket(n_items: int) -> int:
-    """Grid-size bucket for the kernel item stream: next power of two
-    (>= 4096).  Masked tail items are skipped at near-zero cost, so the
-    <2x padding costs ~nothing, while chunks of similar-but-unequal
-    content share one compiled executable — the 4096-quantum buckets
-    multiplied warm-up compiles across chunks/objects (VERDICT r1 #5)."""
-    n = 4096
-    while n < n_items:
-        n *= 2
-    return n
+    """Grid-size bucket for the kernel item stream: next multiple of
+    1/8 of the value's power-of-two magnitude (>= 4096).
+
+    Masked tail items cost the SAME as real items in the kernel (measured
+    r3 — the ``pl.when`` branch does not save vector time), so padding is
+    paid in full: pure power-of-two buckets put the pose bench's 1.59M
+    real items in a 2.10M grid, wasting 24% of kernel time.  The 1/8
+    quantum caps padding at ~12.5% while still letting
+    similar-but-unequal chunks (objects, scene groups) share compiled
+    executables (VERDICT r1 #5)."""
+    if n_items <= 4096:
+        return 4096
+    mag = 1 << (int(n_items - 1).bit_length() - 1)   # largest pow2 <= n-1
+    q = max(4096, mag // 8)
+    return -(-n_items // q) * q
 
 
 def kernel_supported(dt3_shape, mode: str, mesh=None) -> bool:
