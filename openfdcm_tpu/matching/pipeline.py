@@ -80,18 +80,24 @@ class Dt3FeaturemapBatch:
 
 
 @partial(jax.jit, static_argnames=("depth", "phys_h", "phys_w", "metric",
-                                   "angles", "coeff"))
+                                   "angles", "coeff", "max_points"))
 def _featuremap_device_batch(lines, line_mask, logical_hw, *,
-                             depth, phys_h, phys_w, metric, angles, coeff):
+                             depth, phys_h, phys_w, metric, angles, coeff,
+                             max_points=None):
     """Batched DT3 build.  The indicator scatter, orientation propagation,
     and line integral vmap trivially; the separable DT runs UN-vmapped on
     the whole ``(S, depth, PH, PW)`` stack — its row pass flattens all
     leading axes into fixed-size row blocks, so peak memory is independent
-    of the scene-batch size."""
+    of the scene-batch size.
+
+    ``max_points``: static per-line rasterized-point bound (host-computed
+    from the real line spans; clipping only shrinks spans).  Scatter cost
+    scales with ``lines * max_points``, and most scenes' longest line is
+    far shorter than the canvas diagonal."""
     from ..core.dt import dt_from_indicator
     from ..core import integral
 
-    mp = max(phys_h, phys_w)
+    mp = max(phys_h, phys_w) if max_points is None else max_points
     ind = jax.vmap(lambda l, m, lhw: fm._indicator(
         l, m, lhw, depth=depth, phys_h=phys_h, phys_w=phys_w, max_points=mp))(
         lines, line_mask, logical_hw)
@@ -128,11 +134,20 @@ def build_featuremap_batch(scenes, params: fm.Dt3Params = fm.Dt3Params(),
         trs[i] = tr
 
     angles = fm.make_angles(params.depth)
+    # Static rasterized-point bound from the real line spans (trunc(max
+    # span)+1 = raster_size; clipping only shrinks spans), bucketed to 64
+    # for executable reuse across scene groups.
+    span = 0.0
+    for a in arrs:
+        if a.shape[0]:
+            d = np.maximum(np.abs(a[:, 2] - a[:, 0]), np.abs(a[:, 3] - a[:, 1]))
+            span = max(span, float(np.max(d)))
+    mp = min(phys, -(-(int(span) + 2) // 64) * 64)
     dt3 = _featuremap_device_batch(
         jnp.asarray(lines), jnp.asarray(mask), jnp.asarray(lhw),
         depth=params.depth, phys_h=phys, phys_w=phys,
         metric=params.distance, angles=tuple(float(a) for a in angles),
-        coeff=float(params.dt3_coeff))
+        coeff=float(params.dt3_coeff), max_points=mp)
     return Dt3FeaturemapBatch(
         dt3=dt3, angles=jnp.asarray(angles), scene_translations=jnp.asarray(trs),
         feature_sizes=tuple((w, h) for _, (w, h) in metas), params=params)

@@ -42,7 +42,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RB = 256      # rows per tile
+import os as _os
+
+RB = int(_os.environ.get("OPENFDCM_TPU_MINPLUS_RB", "128"))
+              # rows per tile.  128 aligns tiles to orientation slices on
+              # 128-multiple canvases (a 256-row tile straddles slice
+              # boundaries in the flattened (S*D*H) row axis, unioning two
+              # slices' bands and active-chunk sets).
 CB = 128      # dest columns per tile
 INTERPRET = False
 
