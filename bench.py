@@ -90,14 +90,14 @@ def _kernel_hardware_check() -> int | None:
             return 0
         raise RuntimeError(f"{bad} mismatching lanes")
     except Exception as e:  # noqa: BLE001 — Mosaic compile crash etc.
-        # Fallback ladder: a failing v3 must not kill the bench — retry
-        # with the v2 kernel, then the XLA path.
+        # Fallback ladder: a failing v4 must not kill the bench — retry
+        # with the v3 kernel, then the XLA path.
         if is_backend_error(e):
             raise
-        print(f"# WARNING: window kernel v3 failed on hardware "
-              f"({type(e).__name__}: {e}); retrying with v2",
+        print(f"# WARNING: window kernel v4 failed on hardware "
+              f"({type(e).__name__}: {e}); retrying with v3",
               file=sys.stderr)
-        os.environ["OPENFDCM_TPU_KERNEL_VERSION"] = "2"
+        os.environ["OPENFDCM_TPU_KERNEL_VERSION"] = "3"
         jax.clear_caches()
         try:
             bad = attempt()
@@ -109,7 +109,7 @@ def _kernel_hardware_check() -> int | None:
                 raise
             os.environ["OPENFDCM_TPU_KERNEL"] = "0"
             jax.clear_caches()
-            print(f"# WARNING: window kernel v2 also failed "
+            print(f"# WARNING: window kernel v3 also failed "
                   f"({type(e2).__name__}); using the XLA path",
                   file=sys.stderr)
             return -1

@@ -259,6 +259,12 @@ def propagate_orientation_relax(dt3: jax.Array, steps) -> jax.Array:
     pass, bit-identical update order (:mod:`openfdcm_tpu.ops.prop_kernel`).
     Elsewhere it unrolls the chain in XLA (bit-faithful, many passes).
 
+    ``OPENFDCM_TPU_PROP_KERNEL`` is a COMPILE-TIME flag (like
+    ``OPENFDCM_TPU_KERNEL``): it is read at trace time inside jitted
+    callers, so flipping it between runs has no effect on executables
+    already in the jit or persistent compilation cache — call
+    ``jax.clear_caches()`` (and use a fresh cache dir) after changing it.
+
     ``dt3``: ``(..., D, H, W)``; ``steps`` from :func:`propagation_steps`.
     """
     import os

@@ -28,16 +28,18 @@ from . import optimize as opt
 
 _BIG = opt._BIG
 
-# Window-kernel generation: 3 = sublane-first identity-mapped gathers
-# (~10 shuffle ops/item), 2 = the round-1 patch-gather kernel.
+# Window-kernel generation: 4 = branch-free unrolled groups on precomputed
+# packed indices (latency-bound fix, ~4.7x v3 — window_kernel.py r4 notes),
+# 3 = sublane-first identity-mapped gathers, 2 = the round-1 patch-gather
+# kernel.
 import os as _os
 
 
 def kernel_version() -> int:
     """Read at TRACE time so a runtime fallback (set the env var, then
     ``jax.clear_caches()``) can switch kernel generations — e.g. the bench
-    dropping v3 -> v2 -> XLA if a generation fails on hardware."""
-    return int(_os.environ.get("OPENFDCM_TPU_KERNEL_VERSION", "3"))
+    dropping v4 -> v3 -> XLA if a generation fails on hardware."""
+    return int(_os.environ.get("OPENFDCM_TPU_KERNEL_VERSION", "4"))
 
 
 KERNEL_VERSION = kernel_version()   # import-time snapshot (back-compat)
@@ -225,7 +227,17 @@ def optimize_candidates_batch_kernel(dt3, angles, scene_tr, feature_size,
     theta = geo.get_angle(cand_lines)                     # (S, C, L)
     slice_idx = fm.closest_orientation_idx(angles, theta)
 
-    if kernel_version() == 3:
+    if kernel_version() == 4:
+        cap4 = None if items_cap is None else \
+            cap_bucket(items_cap + wk.pad_margin_v4(s, d))
+        fields, tc = wk.build_fields_v4(cand_lines, cand_mask, rast, valid,
+                                        slice_idx, scene_tr, depth=d, q=q,
+                                        cap=cap4)
+        kf, gidx = wk.pack_gidx_v4(fields, q=q)
+        banks = wk.prep_dt3_banks(dt3)
+        win = wk.window_scores_device_v4(banks, kf, gidx, s_dim=s, c_dim=c,
+                                         depth=d, q=q)
+    elif kernel_version() == 3:
         fields, tc = wk.build_fields_v3(cand_lines, cand_mask, rast, valid,
                                         slice_idx, scene_tr, depth=d, q=q,
                                         cap=items_cap)
@@ -286,7 +298,10 @@ def optimize_candidates_batch_kernel(dt3, angles, scene_tr, feature_size,
 
     def ext_eval(sel, active, sign, t0):
         vdir = jnp.float32(sign) * rast_f[sel]
-        if kernel_version() == 3:
+        if kernel_version() in (3, 4):
+            # the straggler extension pass stays on the v3 ext kernel (same
+            # DT3 banks); its compacted subset is small, so the v3 per-item
+            # latency is immaterial there
             return wk.window_scores_ext_v3(
                 banks, cl_flat[sel], cm_flat[sel], vdir, active,
                 si_raw[sel], scene_of[sel], scene_tr, t0)

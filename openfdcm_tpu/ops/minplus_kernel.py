@@ -44,11 +44,31 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os as _os
 
-RB = int(_os.environ.get("OPENFDCM_TPU_MINPLUS_RB", "128"))
-              # rows per tile.  128 aligns tiles to orientation slices on
-              # 128-multiple canvases (a 256-row tile straddles slice
-              # boundaries in the flattened (S*D*H) row axis, unioning two
-              # slices' bands and active-chunk sets).
+def _read_rb() -> int:
+    """Rows per tile from ``OPENFDCM_TPU_MINPLUS_RB``.  128 aligns tiles to
+    orientation slices on 128-multiple canvases (a 256-row tile straddles
+    slice boundaries in the flattened (S*D*H) row axis, unioning two slices'
+    bands and active-chunk sets).
+
+    A value that is not a positive multiple of 8 would mis-tile the kernel
+    (misaligned accumulator writes crash the TPU runtime — ADVICE r3), so
+    invalid values fall back to the default with a warning."""
+    raw = _os.environ.get("OPENFDCM_TPU_MINPLUS_RB", "128")
+    try:
+        rb = int(raw)
+    except ValueError:
+        rb = -1
+    if rb <= 0 or rb % 8:
+        if raw != "128":
+            import warnings
+            warnings.warn(
+                f"OPENFDCM_TPU_MINPLUS_RB={raw!r} is not a positive multiple"
+                " of 8; using the default 128", stacklevel=2)
+        return 128
+    return rb
+
+
+RB = _read_rb()
 CB = 128      # dest columns per tile
 INTERPRET = False
 

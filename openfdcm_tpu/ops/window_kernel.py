@@ -932,3 +932,371 @@ def window_scores(dt3, scene_tr, cand_lines, cand_mask, rast, valid,
     out = window_scores_device(dt3, dt3t, fields, s_dim=s, c_dim=c,
                                depth=depth, q=q)
     return out, tc
+
+
+# ---------------------------------------------------------------------------
+# Kernel v4: branch-free unrolled groups on precomputed packed indices
+# ---------------------------------------------------------------------------
+#
+# r4 hardware profiling (scripts/proto_v4b.py) falsified the r3 belief that
+# the kernel ran at vector-issue speed-of-light: the v3 body is LATENCY
+# bound — each item is one serial dependent chain (index arith -> dynamic
+# load -> gather -> select -> gather -> accumulate), and the per-item
+# ``pl.when`` branches stop Mosaic from interleaving independent items, so
+# throughput ~ chain latency (~110-150 ns/item) regardless of op count
+# (which is why r3's one_chunk/one_ep ablations barely moved).
+#
+# v4 removes both serializers:
+#   1. NO per-item control flow — masked items multiply by wt=0; the slice
+#      state machine runs once per 8-item GROUP (the item stream pads every
+#      (scene, major, slice) run to a multiple of 8, so sid is
+#      group-uniform by construction);
+#   2. the per-lane probe indices are PRECOMPUTED in a batched XLA pass
+#      (``pack_gidx_v4``) with the reference's exact f32 op order — per
+#      endpoint per lane one packed int32 ``dy*128 + li`` — so the kernel
+#      body is just loads, gathers, selects, and the accumulate.
+# Eight independent item chains per group unroll into straight-line code
+# that Mosaic's scheduler interleaves: measured 28 ns/item rtt-corrected
+# vs 133 for v3 on the same stream (2026-08-19, v5e via axon).  Exactness
+# is per-lane bit-exact vs the XLA path (the identity-mapping deviance
+# machinery of v3 is unnecessary — indices are computed, not inferred).
+
+NKF4 = 7
+K_SID, K_SLOT, K_WT, K_R0, K_LS0, K_R1, K_LS1 = range(7)
+
+
+def _kernel_v4(kf_ref, gidx_ref, dt3_ref, dt3r_ref, dt3t_ref, dt3tr_ref,
+               out_ref, slab, acc, state, sem, *, s_dim, c_dim, depth, q,
+               single_flush=False):
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, K_LANES), 0)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        acc[...] = jnp.zeros((c_dim, K_LANES), jnp.float32)
+        state[0] = -1
+        state[1] = -1
+
+    def flush(b):
+        cp = pltpu.make_async_copy(acc, out_ref.at[b], sem)
+        cp.start()
+        cp.wait()
+        acc[...] = jnp.zeros((c_dim, K_LANES), jnp.float32)
+
+    def load_slice(sid):
+        d = jax.lax.rem(sid, depth)
+        bt = jax.lax.div(sid, depth)
+        b = jax.lax.div(bt, 2)
+        is_t = jax.lax.rem(bt, 2)
+
+        def both(plain, rolled):
+            c1 = pltpu.make_async_copy(plain.at[b, d], slab.at[pl.ds(0, q)],
+                                       sem)
+            c1.start()
+            c1.wait()
+            c2 = pltpu.make_async_copy(rolled.at[b, d], slab.at[pl.ds(q, q)],
+                                       sem)
+            c2.start()
+            c2.wait()
+
+        @pl.when(is_t == 0)
+        def _():
+            both(dt3_ref, dt3r_ref)
+
+        @pl.when(is_t == 1)
+        def _():
+            both(dt3t_ref, dt3tr_ref)
+
+    def group(g, _):
+        g8 = pl.multiple_of(g * 8, 8)
+        sid = kf_ref[g * 8, K_SID].astype(jnp.int32)     # group-uniform
+
+        @pl.when(sid != state[0])
+        def _():
+            b = jax.lax.div(sid, 2 * depth)
+
+            if not single_flush:
+                @pl.when((state[1] >= 0) & (b != state[1])
+                         & (state[1] < s_dim))
+                def _():
+                    flush(state[1])
+
+            @pl.when(b < s_dim)
+            def _():
+                load_slice(sid)
+            state[0] = sid
+            state[1] = b
+
+        blk = gidx_ref[pl.ds(g8, 8), :]                  # (8, 256) i32
+        li_all = blk & 127
+        dy_all = blk >> 7
+        ds_all = dy_all & 7
+        dc_all = dy_all >> 3
+
+        for r in range(8):
+            it = g * 8 + r
+            wt = kf_ref[it, K_WT]
+            slot = kf_ref[it, K_SLOT].astype(jnp.int32)
+
+            def endpoint(c0, kr, kls):
+                row0 = kf_ref[it, kr].astype(jnp.int32)
+                ls = kf_ref[it, kls].astype(jnp.int32)
+                ds = jnp.broadcast_to(ds_all[r:r + 1, c0:c0 + 128],
+                                      (8, K_LANES))
+                dc = jnp.broadcast_to(dc_all[r:r + 1, c0:c0 + 128],
+                                      (8, K_LANES))
+                li = jnp.broadcast_to(li_all[r:r + 1, c0:c0 + 128],
+                                      (8, K_LANES))
+                lanestart = pl.multiple_of(ls, 128)
+                v = jnp.zeros((8, K_LANES), jnp.float32)
+                for k in range(NCH):
+                    ck = slab[pl.ds(pl.multiple_of(row0 + 8 * k, 8), 8),
+                              pl.ds(lanestart, 128)]
+                    h = jnp.take_along_axis(ck, li, axis=1)
+                    v = jnp.where(dc == k, h, v)
+                return jnp.take_along_axis(v, ds, axis=0)
+
+            v0 = endpoint(0, K_R0, K_LS0)
+            v1 = endpoint(128, K_R1, K_LS1)
+            d = jnp.abs(v1 - v0) * wt
+            base_s = pl.multiple_of((slot // 8) * 8, 8)
+            acc[pl.ds(base_s, 8), :] = acc[pl.ds(base_s, 8), :] + \
+                jnp.where(row8 == (slot % 8), d, 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, IB // 8, group, 0)
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _():
+        if single_flush:
+            flush(0)
+        else:
+            @pl.when((state[1] >= 0) & (state[1] < s_dim))
+            def _():
+                flush(state[1])
+
+
+def window_scores_device_v4(banks, kf, gidx, *, s_dim, c_dim, depth, q,
+                            single_flush=False):
+    """Run the v4 kernel.  ``kf``: ``(N, NKF4)`` f32 scalar fields; ``gidx``:
+    ``(N, 256)`` int32 packed per-lane indices; N a multiple of IB, items
+    sorted by sid with 8-aligned (scene, major, slice) runs."""
+    if c_dim % 8:
+        # See window_scores_device: partial slot blocks would write past
+        # the accumulator scratch.
+        c_pad = -(-c_dim // 8) * 8
+        out = window_scores_device_v4(banks, kf, gidx, s_dim=s_dim,
+                                      c_dim=c_pad, depth=depth, q=q,
+                                      single_flush=single_flush)
+        return out[:, :c_dim]
+    n = kf.shape[0]
+    out_s = 1 if single_flush else s_dim
+    return pl.pallas_call(
+        partial(_kernel_v4, s_dim=s_dim, c_dim=c_dim, depth=depth, q=q,
+                single_flush=single_flush),
+        grid=(n // IB,),
+        in_specs=[pl.BlockSpec((IB, NKF4), lambda i: (i, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((IB, 2 * K_LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] +
+                 [pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((out_s, c_dim, K_LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2 * q, q), jnp.float32),
+            pltpu.VMEM((c_dim, K_LANES), jnp.float32),
+            pltpu.SMEM((4,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1.25 * 4 * (2 * q * q + c_dim * K_LANES))
+            + 8 * 1024 * 1024,
+        ),
+        interpret=INTERPRET,
+    )(kf, gidx, *banks)
+
+
+def pack_gidx_v4(fields, *, q, two_sided=True):
+    """v4 kernel inputs from a sorted NF3-layout fields array:
+    ``(kf (N, NKF4) f32, gidx (N, 256) int32)``.
+
+    Per lane l the probe step is ``m(l) = m_pat(l) + t0``; probe coords
+    replicate the reference's op order (``dt3cpu.cpp:151-165``:
+    ``tr + m*v`` then ``e + tr`` then int-trunc) per lane, so the packed
+    ``dy*128 + li`` indices are bit-exact vs the XLA gather path.  Window
+    origins come from the exact per-lane extremes over covered lanes; the
+    x window always fits one plain-or-rolled 128-lane chunk because
+    ``build_fields_v4`` caps tc at ``x_fit - 1`` (the -1 absorbs the <=1
+    trunc jitter between ``trunc(e+tr)+-tc`` and the per-lane truncation).
+    """
+    lane = jnp.arange(K_LANES, dtype=jnp.float32)
+    m_pat = jnp.where(lane < K_POS, lane, -(lane - (K_POS - 1)))
+    t0 = fields[:, G_T0]
+    tc = fields[:, G_TC]
+    m = m_pat[None, :] + t0[:, None]                       # (N, K) f32 exact
+    if two_sided:
+        cov = jnp.abs(m_pat)[None, :] <= tc[:, None]
+    else:
+        cov = (m_pat >= 0)[None, :] & (m_pat[None, :] <= tc[:, None])
+
+    vx = fields[:, G_VX]
+    vy = fields[:, G_VY]
+    tx = fields[:, G_TRM][:, None] + m * vx[:, None]       # (N, K)
+    ty = fields[:, G_TRN][:, None] + m * vy[:, None]
+
+    def endpoint(em, en):
+        xi = jnp.clip((em[:, None] + tx).astype(jnp.int32), 0, q - 1)
+        yi = jnp.clip((en[:, None] + ty).astype(jnp.int32), 0, q - 1)
+        # lane-0 fallback keeps extremes defined when nothing is covered
+        xs = jnp.where(cov, xi, xi[:, 0:1])
+        ys = jnp.where(cov, yi, yi[:, 0:1])
+        xmin = jnp.min(xs, axis=1)
+        xmax = jnp.max(xs, axis=1)
+        ymin = jnp.min(ys, axis=1)
+        crossing = (xmin // 128) != (xmax // 128)
+        ls = jnp.where(crossing, ((xmin - 64) // 128) * 128,
+                       (xmin // 128) * 128)
+        ls = jnp.clip(ls, 0, q - 128)
+        x0a = ls + jnp.where(crossing, 64, 0)
+        y0a = jnp.clip((ymin // 8) * 8, 0, q - NCH * 8)
+        row0 = jnp.where(crossing, q, 0) + y0a
+        li = jnp.clip(xi - x0a[:, None], 0, 127)
+        dy = jnp.clip(yi - y0a[:, None], 0, NCH * 8 - 1)
+        return row0, ls, dy * 128 + li
+
+    row0_0, ls0, g0 = endpoint(fields[:, G_E0M], fields[:, G_E0N])
+    row0_1, ls1, g1 = endpoint(fields[:, G_E1M], fields[:, G_E1N])
+    gidx = jnp.concatenate([g0, g1], axis=1)               # (N, 256)
+    f32 = lambda a: a.astype(jnp.float32)
+    kf = jnp.stack([fields[:, G_SID], fields[:, G_SLOT], fields[:, G_WT],
+                    f32(row0_0), f32(ls0), f32(row0_1), f32(ls1)], axis=-1)
+    return kf, gidx
+
+
+def pad_margin_v4(s_count: int, depth: int) -> int:
+    """Static upper bound on the extra stream rows the v4 builder adds:
+    per-scene sentinels plus up to 7 run-alignment pads per (scene, major,
+    slice) bin."""
+    return s_count + 7 * (2 * depth * s_count)
+
+
+def _pad_runs_to_groups(fields, n_bins):
+    """Append zero-weight pad rows so every sid run length is a multiple of
+    8, then sort by sid.  ``fields`` already carries its sentinels; pads
+    carry the run's sid (so groups stay sid-uniform) and wt = 0."""
+    sid = fields[:, G_SID].astype(jnp.int32)
+    # per-bin counts via sorted searchsorted (a dense one-hot histogram
+    # would materialize N x bins; a scatter-add histogram is ~40x slower
+    # than a sort on TPU)
+    sid_sorted = jnp.sort(sid)
+    edges = jnp.searchsorted(sid_sorted,
+                             jnp.arange(n_bins + 1, dtype=jnp.int32))
+    counts = edges[1:] - edges[:-1]                             # (bins,)
+    need = (-counts) % 8                                        # (bins,)
+    j8 = jax.lax.broadcasted_iota(jnp.int32, (n_bins, 8), 1)
+    pad_sid = jnp.where(j8 < need[:, None],
+                        jax.lax.broadcasted_iota(jnp.int32, (n_bins, 8), 0),
+                        n_bins).reshape(-1)
+    pads = jnp.zeros((n_bins * 8, fields.shape[1]), jnp.float32)
+    pads = pads.at[:, G_SID].set(pad_sid.astype(jnp.float32))
+    return jnp.concatenate([fields, pads], axis=0)
+
+
+def build_fields_v4(cand_lines, cand_mask, rast, valid, slice_idx, scene_tr,
+                    *, depth, q, cap=None):
+    """v4 sorted item stream: ``(fields (N, NF3) f32, tc (S, C) int32)``.
+
+    Same item semantics as :func:`build_fields_v3` minus the deviance
+    machinery (v4 indices are exact), plus 8-alignment padding of every
+    (scene, major, slice) run so the kernel's group state machine sees one
+    sid per 8-item group.  ``cap`` (static) must include
+    :func:`pad_margin_v4`; rows at and beyond the cap are guaranteed pads.
+    """
+    s, c, l = cand_mask.shape
+    rx, ry = rast[..., 0], rast[..., 1]
+    finite = jnp.isfinite(rx) & jnp.isfinite(ry)
+    is_x_major = jnp.abs(rx) >= jnp.abs(ry)
+
+    vx = jnp.where(is_x_major, rx, ry)                    # (S, C) |.| == 1
+    vy = jnp.where(is_x_major, ry, rx)
+    trx = jnp.where(is_x_major, scene_tr[:, None, 0], scene_tr[:, None, 1])
+    tr_y = jnp.where(is_x_major, scene_tr[:, None, 1], scene_tr[:, None, 0])
+
+    avy = jnp.abs(vy)
+    tc = jnp.minimum(float(TC_MAX),
+                     jnp.floor(Y_BUDGET3 / jnp.maximum(avy, 1e-6)))
+    tc = jnp.where(finite, tc, 0.0)                       # (S, C) f32
+
+    ep = cand_lines.reshape(s, c, l, 2, 2)                # [p1, p2] x (x, y)
+    e_x = ep[..., 0]                                      # (S, C, L, 2)
+    e_y = ep[..., 1]
+    e_maj = jnp.where(is_x_major[..., None, None], e_x, e_y)
+    e_min = jnp.where(is_x_major[..., None, None], e_y, e_x)
+
+    # x_fit - 1: widest symmetric step window around each endpoint's base
+    # column fitting ONE aligned 128-chunk (see build_fields_v3), minus one
+    # step for the f32 trunc jitter of the exact per-lane columns.
+    c0 = (e_maj + trx[..., None, None]).astype(jnp.int32)   # (S, C, L, 2)
+    u = c0 % 128
+    fit_plain = jnp.minimum(u, 127 - u)
+    v = (c0 - 64) % 128
+    fit_roll = jnp.minimum(v, 127 - v)
+    x_fit = jnp.maximum(fit_plain, fit_roll)
+    x_fit = jnp.where(cand_mask[..., None], x_fit, 127)
+    tc = jnp.minimum(
+        tc, (jnp.min(x_fit, axis=(-1, -2)) - 1).astype(jnp.float32))
+    tc = jnp.maximum(tc, 0.0)
+
+    use = cand_mask & valid[..., None] & finite[..., None]
+    wt = use.astype(jnp.float32)
+    scene_id = jax.lax.broadcasted_iota(jnp.int32, (s, c, l), 0)
+    sid = (scene_id * 2 + (~is_x_major[..., None]).astype(jnp.int32)) * depth \
+        + slice_idx.astype(jnp.int32)
+    sid = jnp.where(use, sid, s * 2 * depth)              # skips sort last
+
+    bc = lambda a: jnp.broadcast_to(a[..., None], (s, c, l)).reshape(-1)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (s, c, l), 1)
+    cols = [
+        sid.reshape(-1).astype(jnp.float32),
+        slot.reshape(-1).astype(jnp.float32),
+        wt.reshape(-1),
+        bc(tc),
+        e_maj[..., 0].reshape(-1), e_min[..., 0].reshape(-1),
+        e_maj[..., 1].reshape(-1), e_min[..., 1].reshape(-1),
+        bc(vx), bc(vy), bc(trx), bc(tr_y),
+        jnp.zeros(s * c * l, jnp.float32),                # G_T0
+    ]
+    fields = jnp.stack(cols, axis=-1)                     # (S*C*L, NF3)
+
+    sent = jnp.zeros((s, NF3), jnp.float32)
+    sent = sent.at[:, G_SID].set(
+        (jnp.arange(s, dtype=jnp.int32) * 2 * depth).astype(jnp.float32))
+    fields = jnp.concatenate([fields, sent], axis=0)
+    fields = _pad_runs_to_groups(fields, s * 2 * depth)
+
+    n_raw = fields.shape[0]
+    n_pad = -(-n_raw // IB) * IB
+    pad = jnp.zeros((n_pad - n_raw, NF3), jnp.float32)
+    pad = pad.at[:, G_SID].set(float(s * 2 * depth))
+    fields = jnp.concatenate([fields, pad], axis=0)
+
+    key = fields[:, G_SID].astype(jnp.int32)
+    _, perm = jax.lax.sort_key_val(key, jnp.arange(n_pad, dtype=jnp.int32))
+    if cap is not None and cap < n_pad:
+        perm = perm[:cap]
+    fields = jnp.take(fields, perm, axis=0)
+    return fields, tc.astype(jnp.int32)
+
+
+def window_scores_v4(dt3, scene_tr, cand_lines, cand_mask, rast, valid,
+                     slice_idx):
+    """v4 full entry, mirroring :func:`window_scores_v3`."""
+    s, depth, q, q2 = dt3.shape
+    assert q == q2 and q % 128 == 0, "v4 kernel needs a square 128-mult canvas"
+    c = cand_mask.shape[1]
+    fields, tc = build_fields_v4(cand_lines, cand_mask, rast, valid,
+                                 slice_idx, scene_tr, depth=depth, q=q)
+    kf, gidx = pack_gidx_v4(fields, q=q)
+    banks = prep_dt3_banks(dt3)
+    out = window_scores_device_v4(banks, kf, gidx, s_dim=s, c_dim=c,
+                                  depth=depth, q=q)
+    return out, tc

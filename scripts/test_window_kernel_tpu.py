@@ -72,10 +72,12 @@ def check_exactness(verbose=True) -> int:
                       jnp.where(theta < -jnp.pi / 2, theta + jnp.pi, theta))
     slice_idx = fm.closest_orientation_idx(angles, theta)
 
-    # Exercise the SAME kernel version production uses (v3 by default) —
-    # a v3-specific Mosaic crash or mismatch must not hide behind v2.
+    # Exercise the SAME kernel version production uses (v4 by default) —
+    # a version-specific Mosaic crash or mismatch must not hide behind
+    # an older one.
     from openfdcm_tpu.matching.optimize_kernel import kernel_version
-    entry = wk.window_scores_v3 if kernel_version() == 3 else wk.window_scores
+    entry = {4: wk.window_scores_v4, 3: wk.window_scores_v3}.get(
+        kernel_version(), wk.window_scores)
     kout, tc = jax.jit(entry)(dt3, scene_tr, cand_lines, cand_mask,
                               rast, valid, slice_idx)
     xout = jax.jit(xla_window)(dt3, scene_tr, cand_lines, cand_mask, rast,
@@ -120,7 +122,8 @@ def main():
                           jnp.where(theta < -jnp.pi / 2, theta + jnp.pi, theta))
         slice_idx = fm.closest_orientation_idx(angles, theta)
         from openfdcm_tpu.matching.optimize_kernel import kernel_version
-        entry = wk.window_scores_v3 if kernel_version() == 3 else wk.window_scores
+        entry = {4: wk.window_scores_v4, 3: wk.window_scores_v3}.get(
+            kernel_version(), wk.window_scores)
         f = jax.jit(entry)
         r = f(dt3, scene_tr, cand_lines, cand_mask, rast, valid, slice_idx)
         jax.block_until_ready(r)

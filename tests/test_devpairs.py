@@ -155,3 +155,32 @@ def test_match_many_empty_scene():
         finally:
             os.environ.pop("OPENFDCM_TPU_DEVPAIRS", None)
         assert res[0] == [] and len(res[1]) > 0
+
+
+def test_match_many_devpairs_scene_mesh_small():
+    """Default-lane variant of the devpairs scene-mesh parity test
+    (ADVICE r3 #1): 2 scenes on a 2-device mesh, small depth."""
+    from openfdcm_tpu.parallel import make_mesh
+    templates = [np.asarray(create_lines(4 + i, 40.0 + 10.0 * i))
+                 for i in range(3)]
+    scenes = []
+    for j in range(2):
+        mat = np.concatenate([make_rotation(0.3 * j),
+                              np.full((2, 1), 5.0 + j, np.float32)], axis=1)
+        scenes.append(apply_transform(templates[j], mat))
+    params = of.Dt3Params(3, 5.0, 2.2, of.Distance.L2)
+    lengths = of.get_template_lengths(templates)
+    kw = dict(penalty=of.ExponentialPenalty(1.5), template_lengths=lengths,
+              top_k=4)
+    single = of.match_many(scenes, templates, params, of.DefaultSearch(3, 6),
+                           of.BatchOptimize(5), **kw)
+    mesh = make_mesh(shape=(2,), axis_names=("scene",))
+    meshed = of.match_many(scenes, templates, params, of.DefaultSearch(3, 6),
+                           of.BatchOptimize(5), mesh=mesh, **kw)
+    for h, d in zip(single, meshed):
+        assert len(h) == len(d) > 0
+        np.testing.assert_allclose(
+            sorted(m.score for m in h), sorted(m.score for m in d),
+            rtol=1e-5, atol=1e-7)
+        assert sorted((round(m.score, 5), m.tmpl_idx) for m in h) == \
+            sorted((round(m.score, 5), m.tmpl_idx) for m in d)

@@ -122,3 +122,28 @@ def test_cand_mesh_topk_wider_than_shard():
     np.testing.assert_allclose(
         sorted(m.score for m in single[0]),
         sorted(m.score for m in meshed[0]), rtol=1e-5, atol=1e-7)
+
+
+def test_cand_mesh_topk_wider_than_shard_small():
+    """Default-lane variant of the cand-mesh top-k width regression test
+    (ADVICE r3 #1): top_k wider than one shard's contribution on a
+    2-device cand mesh."""
+    tmpl, scene, fm = _setup()
+    mesh = make_mesh(shape=(2,), axis_names=("cand",))
+    k = 24
+    single = of.match_many([scene], [tmpl], of.Dt3Params(3, 5.0, 2.2),
+                           of.DefaultSearch(3, 6), of.BatchOptimize(5),
+                           top_k=k)
+    import os
+    os.environ["OPENFDCM_TPU_DEVPAIRS"] = "0"   # force the host-pair path
+    try:
+        meshed = of.match_many([scene], [tmpl],
+                               of.Dt3Params(3, 5.0, 2.2),
+                               of.DefaultSearch(3, 6), of.BatchOptimize(5),
+                               top_k=k, mesh=mesh)
+    finally:
+        os.environ.pop("OPENFDCM_TPU_DEVPAIRS", None)
+    assert len(meshed[0]) == len(single[0]) > 0
+    np.testing.assert_allclose(
+        sorted(m.score for m in single[0]),
+        sorted(m.score for m in meshed[0]), rtol=1e-5, atol=1e-7)

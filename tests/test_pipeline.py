@@ -138,3 +138,81 @@ def test_device_topk_with_pair_chunking(monkeypatch):
         for a, b in zip(t_list, ranked):
             assert a.tmpl_idx == b.tmpl_idx
             assert np.isclose(a.score, b.score, rtol=1e-6)
+
+
+def test_device_topk_with_pair_chunking_small(monkeypatch):
+    """Default-lane variant of the pair-chunking parity test (ADVICE r3 #1):
+    a small bank that still spans two lmax buckets and forces >1 pair chunk
+    per dispatch."""
+    from openfdcm_tpu.matching import pipeline as P
+    monkeypatch.setattr(P, "_PAIR_CHUNK", 8)
+
+    rng = np.random.default_rng(11)
+    templates = []
+    for n in (4, 6, 12):                      # two lmax buckets (8 / 16)
+        t = np.zeros((n, 4), np.float32)
+        t[:, 0:2] = rng.uniform(0, 25, (n, 2))
+        t[:, 2:4] = t[:, 0:2] + rng.uniform(2, 10, (n, 2))
+        templates.append(t)
+    scenes = [templates[0] + np.float32(4.0)]
+
+    params = of.Dt3Params(3, 5.0, 2.0, of.Distance.L2)
+    bank = of.prepare_templates(templates)
+    searcher = of.DefaultSearch(3, 4)
+    optimizer = of.BatchOptimize(5)
+    pen = of.ExponentialPenalty(1.5)
+    lengths = of.get_template_lengths(templates)
+
+    topk = of.match_many(scenes, bank, params, searcher, optimizer,
+                         penalty=pen, template_lengths=lengths, top_k=5)
+    full = of.match_many(scenes, bank, params, searcher, optimizer,
+                         penalty=pen, template_lengths=lengths)
+    for t_list, f_list in zip(topk, full):
+        ranked = of.sort_matches(f_list)[:5]
+        assert len(t_list) == len(ranked) > 0
+        for a, b in zip(t_list, ranked):
+            assert a.tmpl_idx == b.tmpl_idx
+            assert np.isclose(a.score, b.score, rtol=1e-6)
+            np.testing.assert_allclose(a.transform, b.transform,
+                                       rtol=1e-6, atol=1e-5)
+
+
+def test_genpairs_items_cap_matches_uncapped(monkeypatch):
+    """ADVICE r3 #2: the exact per-scene items_cap of the genpairs kernel
+    path must never trim real items.  Runs the devpairs+kernel path
+    (Pallas interpreter) twice — once with the pipeline's exact cap, once
+    with the cap disabled — and requires identical rankings, scores, and
+    transforms."""
+    from openfdcm_tpu.matching import optimize_kernel as ok
+    from openfdcm_tpu.ops import window_kernel as wk
+    monkeypatch.setattr(wk, "INTERPRET", True)
+    monkeypatch.setenv("OPENFDCM_TPU_KERNEL", "1")
+    monkeypatch.setenv("OPENFDCM_TPU_DEVPAIRS", "1")
+
+    rng = np.random.default_rng(5)
+    templates = []
+    for n in (3, 5):
+        t = np.zeros((n, 4), np.float32)
+        t[:, 0:2] = rng.uniform(0, 30, (n, 2))
+        t[:, 2:4] = t[:, 0:2] + rng.uniform(3, 14, (n, 2))
+        templates.append(t)
+    scenes = [templates[1] + np.float32(5.0)]
+    params = of.Dt3Params(3, 5.0, 2.0, of.Distance.L2)
+    bank = of.prepare_templates(templates)
+    lengths = of.get_template_lengths(templates)
+    kw = dict(penalty=of.ExponentialPenalty(1.5), template_lengths=lengths,
+              top_k=6, pad_to=256)
+
+    def run():
+        return of.match_many(scenes, bank, params, of.DefaultSearch(3, 4),
+                             of.BatchOptimize(5), **kw)
+
+    capped = run()
+    monkeypatch.setattr(ok, "cap_bucket", lambda n: None)
+    uncapped = run()
+    for a_list, b_list in zip(capped, uncapped):
+        assert len(a_list) == len(b_list) > 0
+        for a, b in zip(a_list, b_list):
+            assert a.tmpl_idx == b.tmpl_idx
+            assert a.score == b.score
+            np.testing.assert_array_equal(a.transform, b.transform)

@@ -103,3 +103,17 @@ def test_sweep_rejects_mismatched_state(tmp_path):
         resumable_sweep(scenes, templates, PARAMS, of.DefaultSearch(4, 10),
                         of.BatchOptimize(10), top_k=4, state_dir=state_dir,
                         chunk_size=2)
+
+
+def test_sweep_equals_match_many_small(tmp_path):
+    """Default-lane variant of the sweep parity test (ADVICE r3 #1)."""
+    templates, scenes = _setup(n_tmpl=4)
+    scenes = scenes[:2]
+    k = 3
+    full = _full(scenes, templates, k)
+    swept = resumable_sweep(
+        scenes, templates, PARAMS, of.DefaultSearch(4, 10),
+        of.BatchOptimize(10), top_k=k, state_dir=str(tmp_path / "sm"),
+        penalty=of.ExponentialPenalty(1.5),
+        template_lengths=of.get_template_lengths(templates), chunk_size=2)
+    _assert_equal(full, swept)

@@ -124,7 +124,7 @@ def interpret_kernel(monkeypatch):
     yield
 
 
-@pytest.mark.parametrize("version", [2, 3])
+@pytest.mark.parametrize("version", [2, 3, 4])
 def test_window_scores_interpret_matches_xla(interpret_kernel, version):
     rng = np.random.default_rng(7)
     s, c, l, d, q = 2, 8, 4, 6, 256
@@ -142,7 +142,8 @@ def test_window_scores_interpret_matches_xla(interpret_kernel, version):
     valid = jnp.asarray(rng.uniform(size=(s, c)) < 0.9)
     slice_idx = jnp.asarray(rng.integers(0, d, (s, c, l)).astype(np.int32))
 
-    entry = wk.window_scores if version == 2 else wk.window_scores_v3
+    entry = {2: wk.window_scores, 3: wk.window_scores_v3,
+             4: wk.window_scores_v4}[version]
     kout, tc = entry(dt3, scene_tr, cand_lines, cand_mask, rast,
                      valid, slice_idx)
 
@@ -169,7 +170,7 @@ def test_window_scores_interpret_matches_xla(interpret_kernel, version):
     assert (rel[check] < 1e-5).all(), rel[check].max()
 
 
-@pytest.mark.parametrize("version", [2, 3])
+@pytest.mark.parametrize("version", [2, 3, 4])
 def test_window_scores_c_dim_not_multiple_of_8(interpret_kernel, version):
     """Regression (r3): a candidate count that is not a multiple of 8 must
     pad the kernel's accumulator c_dim — the slot write covers full
@@ -192,7 +193,8 @@ def test_window_scores_c_dim_not_multiple_of_8(interpret_kernel, version):
     valid = jnp.ones((s, c), bool)
     slice_idx = jnp.asarray(rng.integers(0, d, (s, c, l)).astype(np.int32))
 
-    entry = wk.window_scores if version == 2 else wk.window_scores_v3
+    entry = {2: wk.window_scores, 3: wk.window_scores_v3,
+             4: wk.window_scores_v4}[version]
     kout, tc = entry(dt3, scene_tr, cand_lines, cand_mask, rast,
                      valid, slice_idx)
     assert kout.shape == (s, c, wk.K_LANES)
