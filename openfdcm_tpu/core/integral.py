@@ -143,10 +143,27 @@ def _group_geometry(angles, phys_n_by_major):
     return groups
 
 
+def _integral_kernel_on() -> bool:
+    """Whether the Pallas sweep-scan kernel handles the per-group scans.
+
+    ``OPENFDCM_TPU_INTEGRAL`` is a COMPILE-TIME flag (read at trace time,
+    like ``OPENFDCM_TPU_KERNEL``): "0" never, "1" always (interpret mode
+    off-TPU), default on the TPU backend only.  Results are bit-identical
+    either way (``tests/test_integral_kernel.py``)."""
+    import os
+    flag = os.environ.get("OPENFDCM_TPU_INTEGRAL", "auto")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 @partial(jax.jit, static_argnames=("angles",))
 def _line_integral_stack(imgs: jax.Array, logical_hw: jax.Array, *, angles):
     d, ph, pw = imgs.shape
     groups = _group_geometry(angles, {True: pw, False: ph})
+    use_kernel = _integral_kernel_on()
     out = [None] * d
     for x_major, idxs, flips, dels in groups:
         n_log = logical_hw[1] if x_major else logical_hw[0]
@@ -168,7 +185,13 @@ def _line_integral_stack(imgs: jax.Array, logical_hw: jax.Array, *, angles):
                                  jnp.take(dsub, pidx, axis=1), 0)
             else:
                 dcol = dsub
-            res = jax.vmap(partial(_sweep_scan, flip=flip_val))(group, dcol)
+            from ..ops import integral_kernel as ik
+            if use_kernel and ik.supported(group.shape[1], group.shape[2]):
+                res = ik.sweep_scan_tpu(
+                    group, dcol, flip_val,
+                    interpret=jax.default_backend() != "tpu")
+            else:
+                res = jax.vmap(partial(_sweep_scan, flip=flip_val))(group, dcol)
             if not x_major:
                 res = jnp.swapaxes(res, 1, 2)
             for k, i in enumerate(sub_idxs):

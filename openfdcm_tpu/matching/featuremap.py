@@ -359,6 +359,52 @@ def _indicator(lines, line_mask, logical_hw, *, depth, phys_h, phys_w,
     return ind.reshape(depth, phys_h, phys_w)
 
 
+def _indicator_batch(lines, line_mask, logical_hw, *, depth, phys_h, phys_w,
+                     max_points, points_cap=None):
+    """Batched :func:`_indicator` over a scene axis with COMPACTED scatter.
+
+    XLA's TPU scatter serializes per index (~170 ns/update measured r3), so
+    the padded ``(S, N, P)`` point grid — mostly masked slots, since lines
+    are far shorter than the canvas-diagonal ``max_points`` bound — pays
+    ~10x more scatter time than the real seeds need.  Sorting the flat
+    index stream (masked slots carry an out-of-range key that sorts last)
+    and truncating at ``points_cap`` (a static host-computed upper bound on
+    the REAL point count: clipping only shrinks spans) keeps the scatter at
+    the real seed count.  Bit-exact: the dropped slots never scattered
+    anything, and the scatter value is a constant 0.0 so reordering is
+    immaterial.
+
+    ``lines``/``line_mask``/``logical_hw``: ``(S, N, 4)/(S, N)/(S, 2)``.
+    Returns ``(S, depth, phys_h, phys_w)``.
+    """
+    s = lines.shape[0]
+    angle_arr = jnp.asarray(make_angles(depth))
+
+    def one(lines_i, mask_i, lhw_i):
+        theta = geo.get_angle(lines_i)
+        slice_of_line = closest_orientation_idx(angle_arr, theta)
+        lhw = lhw_i.astype(jnp.float32)
+        box = jnp.stack([jnp.zeros((), jnp.float32), lhw[1] - 1.0,
+                         jnp.zeros((), jnp.float32), lhw[0] - 1.0])
+        pts, pmask = draw.seed_points_box(lines_i, box, max_points)
+        pmask = pmask & mask_i[:, None]
+        sl = jnp.broadcast_to(slice_of_line[:, None], pmask.shape)
+        flat = (sl.astype(jnp.int32) * (phys_h * phys_w)
+                + pts[..., 1] * phys_w + pts[..., 0])
+        return flat, pmask
+
+    flat, pmask = jax.vmap(one)(lines, line_mask, logical_hw)   # (S, N, P)
+    per_scene = depth * phys_h * phys_w
+    oob = s * per_scene
+    offs = (jnp.arange(s, dtype=jnp.int32) * per_scene)[:, None, None]
+    flat = jnp.where(pmask, flat + offs, oob).reshape(-1)
+    if points_cap is not None and points_cap < flat.shape[0]:
+        flat = jax.lax.sort(flat)[:points_cap]
+    ind = jnp.full((oob,), F32_MAX, jnp.float32)
+    ind = ind.at[flat].set(0.0, mode="drop")
+    return ind.reshape(s, depth, phys_h, phys_w)
+
+
 def _logical_mask(logical_hw, phys_h, phys_w):
     ys = jnp.arange(phys_h)[:, None]
     xs = jnp.arange(phys_w)[None, :]

@@ -93,11 +93,23 @@ class TemplateBank:
         return self.lines.shape[1]
 
 
-def prepare_templates(templates) -> TemplateBank:
-    """Pad templates to a common line count and upload to device."""
+def prepare_templates(templates, lmax_to: int | None = None,
+                      count_to: int | None = None) -> TemplateBank:
+    """Pad templates to a common line count and upload to device.
+
+    ``lmax_to``/``count_to``: optionally pad the line axis / template count
+    up to these values (ignored when smaller than the real maxima).  Banks
+    padded to shared buckets compile to the SAME device programs, so e.g.
+    the four pose objects (lmax 23-33, 91-122 templates) share one
+    executable instead of four (bench.py).  Padded templates have zero
+    lines; their candidates are masked out of scoring and never produce
+    matches.
+    """
     tmpls = [geo.as_lines_np(t) if np.asarray(t).size else np.zeros((0, 4), np.float32)
              for t in templates]
-    lmax = max(1, max((t.shape[0] for t in tmpls), default=1))
+    if count_to is not None and count_to > len(tmpls):
+        tmpls += [np.zeros((0, 4), np.float32)] * (count_to - len(tmpls))
+    lmax = max(1, max((t.shape[0] for t in tmpls), default=1), lmax_to or 1)
     tbank = np.zeros((len(tmpls), lmax, 4), np.float32)
     tmask = np.zeros((len(tmpls), lmax), bool)
     for i, t in enumerate(tmpls):

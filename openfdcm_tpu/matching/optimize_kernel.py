@@ -161,12 +161,15 @@ def _straggler(state, sign, t_lim, chain_cov, walk, eval_at, window, m,
             tc_abs = sub[4] + cover.astype(jnp.float32)
             sub = chain_cov(scores, t_lim[sel], tc_abs, sub, sign)
             state = tuple(x.at[sel].set(v) for x, v in zip(state, sub))
-            # Escalating compacted lockstep walks: the narrow first rung
-            # carries the (few, far-walking) survivors of the ext pass at a
-            # small per-iteration eval; the wider rungs only pay their
-            # any-live reduce when the narrow rung already finished everyone.
-            tails = sorted({min(m, max(64, m // 512)),
-                            min(m, max(64, m // 64))})
+            # ONE narrow compacted lockstep walk carries the (few,
+            # far-walking) survivors of the ext pass at a small
+            # per-iteration eval; anything beyond its capacity finishes on
+            # the full-width backstop below (a while_loop that exits after
+            # one any-live reduce when nobody is live).  r4: the second
+            # (m//64) rung cost an extra 91k argsort + walk setup per
+            # direction (~8 ms/dispatch) and its population was empty in
+            # every measured pose run.
+            tails = [min(m, max(64, m // 512))]
             for b_tail in tails:
                 sel = _compact_sel(state[3], b_tail, m)
                 sub = tuple(x[sel] for x in state)

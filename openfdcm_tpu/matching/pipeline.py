@@ -80,10 +80,11 @@ class Dt3FeaturemapBatch:
 
 
 @partial(jax.jit, static_argnames=("depth", "phys_h", "phys_w", "metric",
-                                   "angles", "coeff", "max_points"))
+                                   "angles", "coeff", "max_points",
+                                   "points_cap"))
 def _featuremap_device_batch(lines, line_mask, logical_hw, *,
                              depth, phys_h, phys_w, metric, angles, coeff,
-                             max_points=None):
+                             max_points=None, points_cap=None):
     """Batched DT3 build.  The indicator scatter, orientation propagation,
     and line integral vmap trivially; the separable DT runs UN-vmapped on
     the whole ``(S, depth, PH, PW)`` stack — its row pass flattens all
@@ -98,9 +99,9 @@ def _featuremap_device_batch(lines, line_mask, logical_hw, *,
     from ..core import integral
 
     mp = max(phys_h, phys_w) if max_points is None else max_points
-    ind = jax.vmap(lambda l, m, lhw: fm._indicator(
-        l, m, lhw, depth=depth, phys_h=phys_h, phys_w=phys_w, max_points=mp))(
-        lines, line_mask, logical_hw)
+    ind = fm._indicator_batch(lines, line_mask, logical_hw, depth=depth,
+                              phys_h=phys_h, phys_w=phys_w, max_points=mp,
+                              points_cap=points_cap)
     dt3 = dt_from_indicator(ind, metric=metric)
     dt3 = jnp.where(jax.vmap(lambda lhw: fm._logical_mask(lhw, phys_h, phys_w))(
         logical_hw)[:, None], dt3, 0.0)
@@ -138,16 +139,21 @@ def build_featuremap_batch(scenes, params: fm.Dt3Params = fm.Dt3Params(),
     # span)+1 = raster_size; clipping only shrinks spans), bucketed to 64
     # for executable reuse across scene groups.
     span = 0.0
+    n_pts = 0
     for a in arrs:
         if a.shape[0]:
             d = np.maximum(np.abs(a[:, 2] - a[:, 0]), np.abs(a[:, 3] - a[:, 1]))
             span = max(span, float(np.max(d)))
+            # rasterize emits trunc(max span)+1 points per line; clipping
+            # only shrinks spans, so this upper-bounds the real seed count
+            n_pts += int(np.minimum(np.trunc(d), phys).sum()) + a.shape[0]
     mp = min(phys, -(-(int(span) + 2) // 64) * 64)
+    cap = -(-(n_pts + 1) // 4096) * 4096        # bucketed for exec reuse
     dt3 = _featuremap_device_batch(
         jnp.asarray(lines), jnp.asarray(mask), jnp.asarray(lhw),
         depth=params.depth, phys_h=phys, phys_w=phys,
         metric=params.distance, angles=tuple(float(a) for a in angles),
-        coeff=float(params.dt3_coeff), max_points=mp)
+        coeff=float(params.dt3_coeff), max_points=mp, points_cap=cap)
     return Dt3FeaturemapBatch(
         dt3=dt3, angles=jnp.asarray(angles), scene_translations=jnp.asarray(trs),
         feature_sizes=tuple((w, h) for _, (w, h) in metas), params=params)

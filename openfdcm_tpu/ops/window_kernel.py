@@ -1047,11 +1047,13 @@ def _kernel_v4(kf_ref, gidx_ref, dt3_ref, dt3r_ref, dt3t_ref, dt3tr_ref,
                 li = jnp.broadcast_to(li_all[r:r + 1, c0:c0 + 128],
                                       (8, K_LANES))
                 lanestart = pl.multiple_of(ls, 128)
+                # one tall (NCH*8, 128) load; chunks are register slices
+                tall = slab[pl.ds(pl.multiple_of(row0, 8), NCH * 8),
+                            pl.ds(lanestart, 128)]
                 v = jnp.zeros((8, K_LANES), jnp.float32)
                 for k in range(NCH):
-                    ck = slab[pl.ds(pl.multiple_of(row0 + 8 * k, 8), 8),
-                              pl.ds(lanestart, 128)]
-                    h = jnp.take_along_axis(ck, li, axis=1)
+                    h = jnp.take_along_axis(tall[8 * k:8 * (k + 1)], li,
+                                            axis=1)
                     v = jnp.where(dc == k, h, v)
                 return jnp.take_along_axis(v, ds, axis=0)
 
@@ -1122,36 +1124,38 @@ def pack_gidx_v4(fields, *, q, two_sided=True):
     Per lane l the probe step is ``m(l) = m_pat(l) + t0``; probe coords
     replicate the reference's op order (``dt3cpu.cpp:151-165``:
     ``tr + m*v`` then ``e + tr`` then int-trunc) per lane, so the packed
-    ``dy*128 + li`` indices are bit-exact vs the XLA gather path.  Window
-    origins come from the exact per-lane extremes over covered lanes; the
+    ``dy*128 + li`` indices are bit-exact vs the XLA gather path.  The
     x window always fits one plain-or-rolled 128-lane chunk because
     ``build_fields_v4`` caps tc at ``x_fit - 1`` (the -1 absorbs the <=1
     trunc jitter between ``trunc(e+tr)+-tc`` and the per-lane truncation).
+
+    Window origins come from the COVERED-WINDOW EXTREMES, computed
+    per item (not per lane): the probe x is monotone in m (|vx| == 1
+    exactly) and so is y (vy has one sign), so the min/max over covered
+    lanes equal the values at the extreme covered steps ``m_lo``/``m_hi``
+    — identical to the r4 per-lane reduction, at O(1) per item.  This
+    keeps the (N, 256) pass a single fused elementwise producer of gidx
+    (measured r4: the reduce-then-rebroadcast form cost ~55 ms on-chip
+    per 1.66M-item dispatch; this form ~10 ms).
     """
-    lane = jnp.arange(K_LANES, dtype=jnp.float32)
-    m_pat = jnp.where(lane < K_POS, lane, -(lane - (K_POS - 1)))
     t0 = fields[:, G_T0]
     tc = fields[:, G_TC]
-    m = m_pat[None, :] + t0[:, None]                       # (N, K) f32 exact
-    if two_sided:
-        cov = jnp.abs(m_pat)[None, :] <= tc[:, None]
-    else:
-        cov = (m_pat >= 0)[None, :] & (m_pat[None, :] <= tc[:, None])
+    m_lo = t0 - (tc if two_sided else 0.0)                 # (N,)
+    m_hi = t0 + tc
 
     vx = fields[:, G_VX]
     vy = fields[:, G_VY]
-    tx = fields[:, G_TRM][:, None] + m * vx[:, None]       # (N, K)
-    ty = fields[:, G_TRN][:, None] + m * vy[:, None]
+    trm = fields[:, G_TRM]
+    trn = fields[:, G_TRN]
 
-    def endpoint(em, en):
-        xi = jnp.clip((em[:, None] + tx).astype(jnp.int32), 0, q - 1)
-        yi = jnp.clip((en[:, None] + ty).astype(jnp.int32), 0, q - 1)
-        # lane-0 fallback keeps extremes defined when nothing is covered
-        xs = jnp.where(cov, xi, xi[:, 0:1])
-        ys = jnp.where(cov, yi, yi[:, 0:1])
-        xmin = jnp.min(xs, axis=1)
-        xmax = jnp.max(xs, axis=1)
-        ymin = jnp.min(ys, axis=1)
+    def origin(em, en):
+        xa = jnp.clip((em + (trm + m_lo * vx)).astype(jnp.int32), 0, q - 1)
+        xb = jnp.clip((em + (trm + m_hi * vx)).astype(jnp.int32), 0, q - 1)
+        ya = jnp.clip((en + (trn + m_lo * vy)).astype(jnp.int32), 0, q - 1)
+        yb = jnp.clip((en + (trn + m_hi * vy)).astype(jnp.int32), 0, q - 1)
+        xmin = jnp.minimum(xa, xb)
+        xmax = jnp.maximum(xa, xb)
+        ymin = jnp.minimum(ya, yb)
         crossing = (xmin // 128) != (xmax // 128)
         ls = jnp.where(crossing, ((xmin - 64) // 128) * 128,
                        (xmin // 128) * 128)
@@ -1159,12 +1163,28 @@ def pack_gidx_v4(fields, *, q, two_sided=True):
         x0a = ls + jnp.where(crossing, 64, 0)
         y0a = jnp.clip((ymin // 8) * 8, 0, q - NCH * 8)
         row0 = jnp.where(crossing, q, 0) + y0a
+        return row0, ls, x0a, y0a
+
+    row0_0, ls0, x0a0, y0a0 = origin(fields[:, G_E0M], fields[:, G_E0N])
+    row0_1, ls1, x0a1, y0a1 = origin(fields[:, G_E1M], fields[:, G_E1N])
+
+    lane = jnp.arange(K_LANES, dtype=jnp.float32)
+    m_pat = jnp.where(lane < K_POS, lane, -(lane - (K_POS - 1)))
+    m = m_pat[None, :] + t0[:, None]                       # (N, K) f32 exact
+
+    def lanes(em, en, x0a, y0a):
+        xi = jnp.clip(
+            (em[:, None] + (trm[:, None] + m * vx[:, None])).astype(jnp.int32),
+            0, q - 1)
+        yi = jnp.clip(
+            (en[:, None] + (trn[:, None] + m * vy[:, None])).astype(jnp.int32),
+            0, q - 1)
         li = jnp.clip(xi - x0a[:, None], 0, 127)
         dy = jnp.clip(yi - y0a[:, None], 0, NCH * 8 - 1)
-        return row0, ls, dy * 128 + li
+        return dy * 128 + li
 
-    row0_0, ls0, g0 = endpoint(fields[:, G_E0M], fields[:, G_E0N])
-    row0_1, ls1, g1 = endpoint(fields[:, G_E1M], fields[:, G_E1N])
+    g0 = lanes(fields[:, G_E0M], fields[:, G_E0N], x0a0, y0a0)
+    g1 = lanes(fields[:, G_E1M], fields[:, G_E1N], x0a1, y0a1)
     gidx = jnp.concatenate([g0, g1], axis=1)               # (N, 256)
     f32 = lambda a: a.astype(jnp.float32)
     kf = jnp.stack([fields[:, G_SID], fields[:, G_SLOT], fields[:, G_WT],
@@ -1179,18 +1199,25 @@ def pad_margin_v4(s_count: int, depth: int) -> int:
     return s_count + 7 * (2 * depth * s_count)
 
 
-def _pad_runs_to_groups(fields, n_bins):
+def _pad_runs_to_groups(fields, n_bins, counts=None):
     """Append zero-weight pad rows so every sid run length is a multiple of
     8, then sort by sid.  ``fields`` already carries its sentinels; pads
-    carry the run's sid (so groups stay sid-uniform) and wt = 0."""
+    carry the run's sid (so groups stay sid-uniform) and wt = 0.
+
+    ``counts``: optional precomputed per-bin row counts (incl. sentinels,
+    excl. skip-sid rows).  ``build_fields_v4`` derives them from the
+    (S, C, L) structure with a fused compare-reduce — a second full sort
+    of the 2M-row stream just to count runs cost ~15 ms/dispatch on the
+    pose bench (r4)."""
     sid = fields[:, G_SID].astype(jnp.int32)
-    # per-bin counts via sorted searchsorted (a dense one-hot histogram
-    # would materialize N x bins; a scatter-add histogram is ~40x slower
-    # than a sort on TPU)
-    sid_sorted = jnp.sort(sid)
-    edges = jnp.searchsorted(sid_sorted,
-                             jnp.arange(n_bins + 1, dtype=jnp.int32))
-    counts = edges[1:] - edges[:-1]                             # (bins,)
+    if counts is None:
+        # per-bin counts via sorted searchsorted (a dense one-hot histogram
+        # would materialize N x bins; a scatter-add histogram is ~40x slower
+        # than a sort on TPU)
+        sid_sorted = jnp.sort(sid)
+        edges = jnp.searchsorted(sid_sorted,
+                                 jnp.arange(n_bins + 1, dtype=jnp.int32))
+        counts = edges[1:] - edges[:-1]                         # (bins,)
     need = (-counts) % 8                                        # (bins,)
     j8 = jax.lax.broadcasted_iota(jnp.int32, (n_bins, 8), 1)
     pad_sid = jnp.where(j8 < need[:, None],
@@ -1271,7 +1298,17 @@ def build_fields_v4(cand_lines, cand_mask, rast, valid, slice_idx, scene_tr,
     sent = sent.at[:, G_SID].set(
         (jnp.arange(s, dtype=jnp.int32) * 2 * depth).astype(jnp.float32))
     fields = jnp.concatenate([fields, sent], axis=0)
-    fields = _pad_runs_to_groups(fields, s * 2 * depth)
+    # per-(scene, major, slice) run counts from the (S, C, L) structure —
+    # a fused compare-reduce, replacing a second full sort of the stream
+    eq = slice_idx.astype(jnp.int32)[..., None] == \
+        jnp.arange(depth, dtype=jnp.int32)                  # (S, C, L, D)
+    xm = (use & is_x_major[..., None])[..., None] & eq
+    ym = (use & ~is_x_major[..., None])[..., None] & eq
+    counts = jnp.stack([jnp.sum(xm, axis=(1, 2)),
+                        jnp.sum(ym, axis=(1, 2))], axis=1)  # (S, 2, D)
+    counts = counts.reshape(-1).astype(jnp.int32)
+    counts = counts.at[jnp.arange(s) * 2 * depth].add(1)    # sentinels
+    fields = _pad_runs_to_groups(fields, s * 2 * depth, counts=counts)
 
     n_raw = fields.shape[0]
     n_pad = -(-n_raw // IB) * IB

@@ -161,7 +161,7 @@ def main():
            fms.dt3, fms.angles, fms.scene_translations, fsd, cl, cm, ca)
 
     @jax.jit
-    def fields_only(cl, cm, ca, scene_tr, fsz):
+    def prep_only(cl, cm, ca, scene_tr, fsz):
         from openfdcm_tpu.core import geometry as geo2
         from openfdcm_tpu.matching import featuremap as fm2
         null_align = geo2.relatively_equal(jnp.sum(jnp.abs(ca), axis=-1), 0.0)
@@ -171,17 +171,30 @@ def main():
         valid = jnp.isfinite(neg) & jnp.isfinite(pos) & ~null_align
         theta = geo2.get_angle(cl)
         slice_idx = fm2.closest_orientation_idx(fms.angles, theta)
-        return wk.build_fields_v3(cl, cm, rast, valid, slice_idx, scene_tr,
-                                  depth=d, q=q)
+        return rast, valid, slice_idx
 
-    fields, _tc = timeit("build_fields_v3 (+minmax/slice prep)", fields_only,
-                         cl, cm, ca, fms.scene_translations, fsd)
+    rast, valid, slice_idx = timeit(
+        "minmax/slice prep", prep_only, cl, cm, ca, fms.scene_translations,
+        fsd)
+    fields_fn = jax.jit(_part(wk.build_fields_v4, depth=d, q=q))
+    fields, _tc = timeit("build_fields_v4", fields_fn, cl, cm, rast, valid,
+                         slice_idx, fms.scene_translations)
+    pack_fn = jax.jit(_part(wk.pack_gidx_v4, q=q))
+    kf, gidx = timeit(f"pack_gidx_v4 ({fields.shape[0]} items)", pack_fn,
+                      fields)
     banks = timeit("prep_dt3_banks", jax.jit(wk.prep_dt3_banks), fms.dt3)
     c_dim = cm.shape[1]
-    kern = jax.jit(_part(wk.window_scores_device_v3, s_dim=s, c_dim=c_dim,
-                         depth=d, q=q))
-    out = timeit(f"window kernel v3 main ({fields.shape[0]} items)", kern,
-                 tuple(banks), fields)
+    kern4 = jax.jit(_part(wk.window_scores_device_v4, s_dim=s, c_dim=c_dim,
+                          depth=d, q=q))
+    timeit(f"window kernel v4 main ({kf.shape[0]} items)", kern4,
+           tuple(banks), kf, gidx)
+    kern3 = jax.jit(_part(wk.window_scores_device_v3, s_dim=s, c_dim=c_dim,
+                          depth=d, q=q))
+    fields3_fn = jax.jit(_part(wk.build_fields_v3, depth=d, q=q))
+    fields3, _ = fields3_fn(cl, cm, rast, valid, slice_idx,
+                            fms.scene_translations)
+    timeit(f"window kernel v3 main ({fields3.shape[0]} items)", kern3,
+           tuple(banks), fields3)
     n_items = fields.shape[0]
     print(f"  (kernel items: {n_items}; see profile_kernel.py for ns/item "
           f"phase breakdown)", file=sys.stderr)

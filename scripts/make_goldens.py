@@ -11,6 +11,19 @@ Output: tests/goldens/pose_best.json, asserted by tests/test_goldens.py and
 checked (tolerance per ``matchstrategy.test.cpp:63-64``) by bench.py's
 hardware run — any ranking drift between backends or rounds fails loudly.
 
+PROVENANCE (VERDICT r3 #9): the ground truth here is THIS framework's own
+CPU backend, NOT the reference C++ binary — the reference build needs
+CMake FetchContent network access this image does not have.  Parity to
+OpenFDCM itself therefore rests on two other legs: (a) the ported
+value-pinned unit tests (exact expected values lifted from the
+reference's own test sources — ``math.test.cpp``, ``imgproc.test.cpp``,
+``dt3cpu.test.cpp:318-345`` exact featuremap rows, the optimizer triples,
+``matchstrategy.test.cpp`` rotation/translation recovery), and (b) the
+independent NumPy oracle (``tests/oracle.py``) cross-checked in
+``tests/test_oracle_parity.py``.  These goldens pin *cross-backend and
+cross-round stability* (TPU == CPU == last round), not reference output
+per se.  The same caveat is stated in BASELINE.md.
+
 Usage: python scripts/make_goldens.py [obj_01 obj_02 ...]
 """
 import glob
