@@ -241,6 +241,13 @@ def protocol(backend: str) -> dict:
                               file=sys.stderr)
                 golden_bad += bad
 
+    # Which kernel generation actually ran (VERDICT r4 weak #6: the
+    # v4 -> v3 -> XLA fallback ladder must be visible in the record, not
+    # just on stderr).
+    from openfdcm_tpu.matching.optimize_kernel import (kernel_supported,
+                                                      kernel_version)
+    kv = (kernel_version()
+          if kernel_supported((1, 1, 640, 640), "batch", None) else 0)
     rec = {
         "metric": "pose_pipeline_scenes_per_s",
         "value": round(sps, 3),
@@ -249,6 +256,7 @@ def protocol(backend: str) -> dict:
         "warmup_s": round(warm, 1),
         "kernel_check_mismatches": kernel_bad,
         "golden_mismatches": golden_bad,
+        "kernel_version": kv,           # 0 = XLA path (kernel disabled)
         "per_object": {o: round(n / w, 3) for o, (n, w) in per_obj.items()},
         "backend": backend,
     }

@@ -25,12 +25,148 @@ PI = math.pi
 HALF_PI = math.pi / 2.0
 
 
+def _round_launder(v: jax.Array) -> jax.Array:
+    """Force ``v`` to its rounded f32 value in a way no compiler pass can
+    undo: bitcast to int32, add a runtime-opaque integer zero, bitcast
+    back.
+
+    WHY: XLA:CPU's LLVM backend contracts ``mul`` feeding ``add/sub`` into
+    FMA inside fused loops — and it strips ``optimization_barrier`` before
+    fusion, duplicating producers into consumers, so the same HLO value
+    can take different f32 values in different uses (observed: the
+    ``sin`` of an alignment rotation differed between its returned value
+    and the subtraction consuming it, flipping candidate geometry by 1 ulp
+    vs TPU and drifting a pose golden 1% — BENCH_r04.json).  The XLA:TPU
+    backend does not contract, so CPU and TPU disagree.  Routing the
+    product's bits through integer arithmetic forces the multiply to be a
+    real rounded instruction on every backend: the int add cannot be
+    elided because its operand ``|v|*0`` is only zero for finite ``v`` (a
+    fact no compiler may assume), and FMA patterns cannot cross integer
+    ops.  Cost: 4 cheap elementwise ops, no fusion break.
+
+    Non-finite ``v`` degrades to garbage bits (|v|*0 = NaN) — every call
+    site's non-finite lanes are masked out downstream, matching the
+    pre-existing NaN-propagation contract."""
+    z = jax.lax.bitcast_convert_type(jnp.abs(v) * jnp.float32(0.0),
+                                     jnp.int32)
+    return jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(v, jnp.int32) + z, jnp.float32)
+
+
+def _pmul(a: jax.Array, b: jax.Array) -> jax.Array:
+    """f32 product forced through a rounded intermediate (see
+    :func:`_round_launder`) so no backend can contract it into an FMA with
+    a following add — every product on the candidate-geometry and
+    probe-coordinate paths must round to f32 explicitly for cross-backend
+    bit stability."""
+    return _round_launder(a * b)
+
+
 def _apply2x2(rot: jax.Array, v: jax.Array) -> jax.Array:
     """Exact-f32 2x2 matrix application (elementwise — keeps the MXU out of
-    tiny K=2 contractions and avoids low-precision matmul defaults)."""
-    x = rot[..., 0, 0] * v[..., 0] + rot[..., 0, 1] * v[..., 1]
-    y = rot[..., 1, 0] * v[..., 0] + rot[..., 1, 1] * v[..., 1]
+    tiny K=2 contractions and avoids low-precision matmul defaults; each
+    product rounds to f32 via :func:`_pmul` for cross-backend bit
+    stability)."""
+    x = _pmul(rot[..., 0, 0], v[..., 0]) + _pmul(rot[..., 0, 1], v[..., 1])
+    y = _pmul(rot[..., 1, 0], v[..., 0]) + _pmul(rot[..., 1, 1], v[..., 1])
     return jnp.stack([x, y], axis=-1)
+
+
+def _two_prod_err(a: jax.Array, b: jax.Array, p: jax.Array) -> jax.Array:
+    """Exact rounding error of the f32 product: ``a*b == p + err`` in real
+    arithmetic, computed with Dekker's split (only IEEE-exact mul/add/sub,
+    so the result is bit-identical on every backend).  Valid while the
+    4097-scaled splits do not overflow (|a|,|b| < ~4e34 — everything in
+    this geometry domain)."""
+    c = jnp.float32(4097.0)                # 2^12 + 1 for a 12/12 bit split
+    ac = _round_launder(a * c)             # Veltkamp split is famously
+    bc = _round_launder(b * c)             # contraction-unsafe: force the
+    ah = ac - (ac - a)                     # scaled products to round
+    al = a - ah
+    bh = bc - (bc - b)
+    bl = b - bh
+    return ((ah * bh - p) + ah * bl + al * bh) + al * bl
+
+
+def _ulp_neighborhood(v: jax.Array, k: int) -> list:
+    """``[v, v-1ulp, v+1ulp, ..., v-k ulp, v+k ulp]`` — the candidate set
+    for the correctly-rounded pickers.  k=4 covers the worst observed TPU
+    seed error (sqrt off by 3 ulp at x=852790.2) with margin."""
+    lo, hi, out = v, v, [v]
+    for _ in range(k):
+        lo = jnp.nextafter(lo, jnp.float32(-jnp.inf))
+        hi = jnp.nextafter(hi, jnp.float32(jnp.inf))
+        out += [lo, hi]
+    return out
+
+
+def _pick_min_resid(cands: jax.Array, r: jax.Array) -> jax.Array:
+    """Candidate (leading axis) with the smallest non-negative residual;
+    exact ties (a halfway quotient/root) resolve round-to-even, then to the
+    first candidate in stack order.  Residuals compare as int32 bit
+    patterns (exact for non-negative f32; NaN bits sort large)."""
+    bits = lambda v: jax.lax.bitcast_convert_type(v, jnp.int32)
+    br = bits(r)
+    rmin = jnp.min(br, axis=0)
+    is_min = br == rmin[None]
+    odd = jnp.stack([bits(c) & 1 for c in cands])
+    rank = jnp.where(is_min, odd, 2)       # even minima first, then odd
+    best = jnp.argmin(rank, axis=0)        # first index on ties
+    return jnp.take_along_axis(cands, best[None, ...], axis=0)[0]
+
+
+def div_cr(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Correctly-rounded f32 division, bit-identical on every backend.
+
+    WHY: XLA:TPU lowers f32 ``divide`` to reciprocal+Newton and ``sqrt``
+    similarly — measured 35% / 43% of random inputs are 1 ulp off the
+    correctly-rounded result the CPU backend produces.  FDCM's discrete
+    decisions (orientation-slice classification, probe-pixel truncation,
+    walk bounds) amplify a 1-ulp quotient difference into different
+    match scores (the r4 golden drift, BENCH_r04.json).  This computes the
+    backend divide as a seed, then picks the true round-to-nearest
+    quotient among the +-4-ulp neighbors by comparing EXACT residuals
+    ``|a - q*b|`` (Dekker products; only IEEE-exact ops).  Validated
+    0 mismatches vs numpy on 2M random pairs on the TPU.
+
+    NaN/inf propagate through the seed (residuals go NaN and argmin keeps
+    the seed lane).  Cost ~30 flops/element — use on the small
+    candidate-geometry tensors, not per-probe data.
+    """
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    q0 = a / b
+    cands = jnp.stack(_ulp_neighborhood(q0, 4))
+
+    def resid(q):
+        # launder: q*b must be rounded before the subtraction — a fused
+        # multiply-subtract would already be exact and double-count the
+        # Dekker error term
+        p = _round_launder(q * b)
+        return jnp.abs((a - p) - _two_prod_err(q, b, p))
+
+    r = jnp.stack([resid(q) for q in cands])
+    out = _pick_min_resid(cands, r)
+    exact = jnp.isnan(q0) | jnp.isinf(q0) | (q0 == 0)
+    return jnp.where(exact, q0, out)
+
+
+def sqrt_cr(x: jax.Array) -> jax.Array:
+    """Correctly-rounded f32 sqrt, bit-identical on every backend —
+    same neighbor-residual construction as :func:`div_cr` (TPU's native
+    sqrt is 1 ulp off on ~43% of random inputs)."""
+    x = jnp.asarray(x, jnp.float32)
+    s0 = jnp.sqrt(x)
+    cands = jnp.stack(_ulp_neighborhood(s0, 4))
+
+    def resid(s):
+        p = _round_launder(s * s)                 # see div_cr.resid
+        return jnp.abs((x - p) - _two_prod_err(s, s, p))
+
+    r = jnp.stack([resid(s) for s in cands])
+    out = _pick_min_resid(cands, r)
+    exact = jnp.isnan(s0) | jnp.isinf(s0) | (s0 == 0)
+    return jnp.where(exact, s0, out)
 
 
 def as_lines(lines) -> jax.Array:
@@ -100,7 +236,7 @@ def get_angle(lines: jax.Array) -> jax.Array:
 def get_length(lines: jax.Array) -> jax.Array:
     """Euclidean length of each line, shape ``(...,)``.  Reference ``core/math.h:306-308``."""
     d = p2(lines) - p1(lines)
-    return jnp.sqrt(d[..., 0] ** 2 + d[..., 1] ** 2)
+    return sqrt_cr(_pmul(d[..., 0], d[..., 0]) + _pmul(d[..., 1], d[..., 1]))
 
 
 def get_template_lengths(templates) -> list:
@@ -130,11 +266,13 @@ def normalize(lines: jax.Array) -> jax.Array:
 
     Reference ``core/math.h:331-333`` (Eigen ``colwise().normalized()``):
     a zero-length line yields ``(0, 0)`` (Eigen's normalized() of a zero
-    vector returns the zero vector).
+    vector returns the zero vector).  Squares round to f32 (:func:`_pmul`)
+    so the norm — and everything the aligned candidates derive from it —
+    is bit-identical across backends.
     """
     d = p2(lines) - p1(lines)
-    n = jnp.sqrt(d[..., 0:1] ** 2 + d[..., 1:2] ** 2)
-    return jnp.where(n > 0, d / jnp.where(n > 0, n, 1.0), 0.0)
+    n = sqrt_cr(_pmul(d[..., 0:1], d[..., 0:1]) + _pmul(d[..., 1:2], d[..., 1:2]))
+    return jnp.where(n > 0, div_cr(d, jnp.where(n > 0, n, 1.0)), 0.0)
 
 
 @jax.jit
@@ -185,8 +323,8 @@ def align(alignment_line: jax.Array, ref_line: jax.Array) -> jax.Array:
     """
     td = normalize(alignment_line)  # tmpl_d
     ad = normalize(ref_line)        # align_d
-    cos = ad[..., 0] * td[..., 0] + ad[..., 1] * td[..., 1]
-    sin = ad[..., 1] * td[..., 0] - ad[..., 0] * td[..., 1]
+    cos = _pmul(ad[..., 0], td[..., 0]) + _pmul(ad[..., 1], td[..., 1])
+    sin = _pmul(ad[..., 1], td[..., 0]) - _pmul(ad[..., 0], td[..., 1])
 
     def mk(c, s):
         rot = jnp.stack([jnp.stack([c, -s], axis=-1),

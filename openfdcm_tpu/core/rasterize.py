@@ -36,8 +36,9 @@ def rasterize_vector(vec: jax.Array) -> jax.Array:
     Reference ``core/drawing.h:57-67``.  Shape ``(..., 2) -> (..., 2)``.
     A null vector yields NaN (0/0), as in the reference.
     """
+    from .geometry import div_cr
     vx, vy = vec[..., 0], vec[..., 1]
-    tan = vy / vx
+    tan = div_cr(vy, vx)        # correctly rounded: feeds probe-pixel math
     # Branch 1: |tan| < 1 (x-major).  The reference condition is
     # `tan >= -1 and tan < 1`.
     b1 = (tan >= -1.0) & (tan < 1.0)
@@ -45,7 +46,7 @@ def rasterize_vector(vec: jax.Array) -> jax.Array:
     r1 = jnp.stack([1.0 - 2.0 * c1, tan - 2.0 * c1 * tan], axis=-1)
     # Branch 2: y-major.
     c2 = vy < 0
-    inv = 1.0 / tan
+    inv = div_cr(jnp.ones_like(tan), tan)
     r2 = jnp.stack([inv - 2.0 * c2 * inv, 1.0 - 2.0 * c2], axis=-1)
     return jnp.where(b1[..., None], r1, r2)
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -165,6 +165,131 @@ def closest_orientation_idx(angles, theta):
     pick_first = jnp.minimum(a1, jnp.abs(a1 - math.pi)) < jnp.minimum(a2, jnp.abs(a2 - math.pi))
     boundary_idx = jnp.where(pick_first, 0, d - 1)
     return jnp.where(interior, interior_idx, boundary_idx)
+
+
+def _classify_theta_np(theta: float, angles: np.ndarray) -> int:
+    """Scalar nearest-angle classification in numpy f32 — the authoritative
+    host semantics (identical to ``tests/oracle.py`` / ``dt3cpu.h:93-114``)
+    that :func:`orientation_ratio_splits` inverts into ratio space."""
+    theta = np.float32(theta)
+    d = len(angles)
+    u = int(np.sum(angles <= theta))
+    if 0 < u < d:
+        lo, hi = u - 1, u
+        return lo if abs(theta - angles[lo]) < abs(theta - angles[hi]) else hi
+    a1 = theta - angles[0]
+    a2 = theta - angles[d - 1]
+    if min(a1, abs(a1 - np.pi)) < min(a2, abs(a2 - np.pi)):
+        return 0
+    return d - 1
+
+
+def _f32_ord(x) -> int:
+    """Total-order key of a float32 (monotone int; NaN excluded):
+    positives map above 2^31, negatives mirror below (-0.0 just under
+    +0.0)."""
+    b = int(np.float32(x).view(np.int32))
+    return (b + 0x80000000) if b >= 0 else ~b
+
+
+def _f32_unord(o: int) -> np.float32:
+    b = (o - 0x80000000) if o >= 0x80000000 else ~o
+    return np.int32(b).view(np.float32)
+
+
+@lru_cache(maxsize=None)
+def orientation_ratio_splits(depth: int):
+    """f32 thresholds turning nearest-angle classification into pure
+    ratio (``dy/dx``) comparisons — ``(splits (depth-1,), wrap)``.
+
+    WHY (r4 golden regression, VERDICT r5 #1): the production paths used
+    to classify candidate lines via ``atan(dy/dx)`` and
+    :func:`closest_orientation_idx`.  ``atan`` is a backend-dependent
+    approximation — XLA:CPU and XLA:TPU disagree by up to ~2e-5 rad —
+    so a line whose angle sits within that window of a slice midpoint
+    classifies DIFFERENTLY per backend (obj_02/scene_3 tmpl-74 line 14:
+    slice 20 on CPU, 19 on TPU -> 1% score drift vs the committed
+    goldens).  ``atan`` is strictly monotone on (-pi/2, pi/2), so
+    nearest-angle-of-atan(r) is a step function of ``r`` itself; this
+    precomputes the exact f32 step positions ONCE on the host (against
+    the numpy-f32 oracle semantics) and the device then classifies with
+    only IEEE-exact ops (divide + compare) — bit-identical on every
+    backend, and bit-identical to ``tests/oracle.py``.
+
+    Classification contract (``classify_lines``):
+      ``r = dy / dx``  (f32 division, both endpoints' order preserved)
+      ``idx = sum(r >= splits)``; ``r >= wrap -> 0``; ``NaN -> depth-1``.
+    """
+    angles = make_angles(depth)
+
+    def cls(r) -> int:
+        with np.errstate(all="ignore"):
+            return _classify_theta_np(np.arctan(np.float32(r)), angles)
+
+    assert cls(-np.inf) == 0 and cls(np.inf) == 0, "wrap structure"
+
+    def bisect(lo_o, hi_o, pred):
+        """Smallest ordered-f32 key in (lo_o, hi_o] whose pred is True;
+        pred must be monotone (False then True) on the range."""
+        while hi_o - lo_o > 1:
+            mid = (lo_o + hi_o) // 2
+            if pred(_f32_unord(mid)):
+                hi_o = mid
+            else:
+                lo_o = mid
+        return hi_o
+
+    lo = _f32_ord(-np.inf)
+    top = _f32_ord(np.inf)
+    splits = []
+    for i in range(1, depth):
+        # threshold i lives between tan(angles[i-1]) and tan(angles[i]);
+        # use the previous split as the left edge (classification is
+        # monotone 0..depth-1 below the wrap point)
+        hi = _f32_ord(np.float32(np.tan(np.float64(angles[i])
+                                        + np.pi / (4 * depth))))
+        while cls(_f32_unord(hi)) < i:        # widen if the guess is short
+            hi = min(top, hi + (hi - lo))
+        o = bisect(lo, hi, lambda r, i=i: cls(r) >= i)
+        splits.append(_f32_unord(o))
+        lo = o
+    wrap_o = bisect(lo, top, lambda r: cls(r) == 0)
+    wrap = _f32_unord(wrap_o)
+
+    # verify the table against the scalar oracle around every threshold
+    # and at the specials — the monotone-step assumption must hold exactly
+    probes = [np.float32(0), np.float32(np.inf), np.float32(-np.inf)]
+    for t in splits + [wrap]:
+        o = _f32_ord(t)
+        probes += [_f32_unord(max(_f32_ord(-np.inf), o - k)) for k in range(3)]
+        probes += [_f32_unord(min(top, o + k)) for k in range(1, 3)]
+    sp = np.asarray(splits, np.float32)
+    for r in probes:
+        table = 0 if r >= wrap else int(np.sum(r >= sp))
+        want = cls(r)
+        assert table == want, (float(r), table, want)
+    return tuple(float(s) for s in splits), float(wrap)
+
+
+def classify_lines(angles, lines: jax.Array) -> jax.Array:
+    """Orientation-slice index per line (``..., 4`` lines -> ``...`` int32),
+    reference nearest-angle semantics (``dt3cpu.h:93-134`` with
+    ``theta = atan(dy/dx)``, ``core/math.h:295-299``) evaluated in tangent-
+    ratio space so the result is bit-identical across backends — see
+    :func:`orientation_ratio_splits`.
+
+    ``angles`` must be the standard bank ``make_angles(depth)`` (always
+    true in production: the reference hardcodes the same formula,
+    ``dt3cpu.h:188-190``); only its static length is read here.
+    """
+    depth = int(jnp.shape(angles)[0])
+    splits, wrap = orientation_ratio_splits(depth)
+    sp = jnp.asarray(np.asarray(splits, np.float32))
+    d = lines[..., 2:4] - lines[..., 0:2]
+    r = geo.div_cr(d[..., 1], d[..., 0])
+    base = jnp.sum((r[..., None] >= sp).astype(jnp.int32), axis=-1)
+    idx = jnp.where(r >= jnp.float32(wrap), 0, base)
+    return jnp.where(jnp.isnan(r), depth - 1, idx)
 
 
 def make_angles(depth: int) -> np.ndarray:
@@ -341,8 +466,7 @@ def _indicator(lines, line_mask, logical_hw, *, depth, phys_h, phys_w,
     """Orientation classify + clip/rasterize + seed scatter: the DT3 seed
     indicator stack ``(depth, PH, PW)`` for one scene."""
     angle_arr = jnp.asarray(make_angles(depth))
-    theta = geo.get_angle(lines)
-    slice_of_line = closest_orientation_idx(angle_arr, theta)
+    slice_of_line = classify_lines(angle_arr, lines)
 
     lhw = logical_hw.astype(jnp.float32)
     box = jnp.stack([jnp.zeros((), jnp.float32), lhw[1] - 1.0,
@@ -381,8 +505,7 @@ def _indicator_batch(lines, line_mask, logical_hw, *, depth, phys_h, phys_w,
     angle_arr = jnp.asarray(make_angles(depth))
 
     def one(lines_i, mask_i, lhw_i):
-        theta = geo.get_angle(lines_i)
-        slice_of_line = closest_orientation_idx(angle_arr, theta)
+        slice_of_line = classify_lines(angle_arr, lines_i)
         lhw = lhw_i.astype(jnp.float32)
         box = jnp.stack([jnp.zeros((), jnp.float32), lhw[1] - 1.0,
                          jnp.zeros((), jnp.float32), lhw[0] - 1.0])
@@ -465,7 +588,7 @@ def minmax_translation_raw(tmpl: jax.Array, align_vec: jax.Array, size_wh,
 
     # (..., 2 axes, 4 candidates)
     mult = jnp.stack([-max_pt, -min_pt, size - max_pt - 1.0, size - min_pt - 1.0], axis=-1)
-    mult = mult / align_vec[..., None]
+    mult = geo.div_cr(mult, align_vec[..., None])   # walk bounds: trunc() flips on 1-ulp backend divide skew
     negative = jnp.signbit(mult)
     pos_c = jnp.where(negative, jnp.inf, mult)
     neg_c = jnp.where(negative, mult, -jnp.inf)
@@ -571,8 +694,7 @@ def evaluate(featuremap: Dt3Featuremap, templates, translations):
         mask[i, : t.shape[0]] = 1.0
         trs[i, : tr.shape[0]] = tr
     lines_d = jnp.asarray(lines)
-    theta = geo.get_angle(lines_d)                        # (n, lmax)
-    o = closest_orientation_idx(featuremap.angles, theta)
+    o = classify_lines(featuremap.angles, lines_d)        # (n, lmax)
     eps = lines_d.reshape(n, lmax, 2, 2)
     tr_d = jnp.asarray(trs) + featuremap.scene_translation
     scores = np.asarray(evaluate_batched(flat, (ph, pw), o, eps,

@@ -95,7 +95,10 @@ def _window_scores(dt3_flat, hw, slice_idx, endpoints, line_mask, scene_tr,
     ``scene_tr + m*rast`` *before* adding to endpoints, replicating the
     reference's float op order (``dt3cpu.cpp:153``)."""
     mult = (t0[:, None] + jnp.arange(count, dtype=jnp.float32)[None, :]) * sign  # (C,K)
-    trans = scene_tr + mult[..., None] * rast[:, None, :]                        # (C,K,2)
+    # launder: the m*rast product must round before the add (geometry
+    # _round_launder) or XLA:CPU FMA-contracts it, skewing probe pixels
+    # vs the TPU kernel path by 1 ulp
+    trans = scene_tr + geo._pmul(mult[..., None], rast[:, None, :])              # (C,K,2)
     return fm.evaluate_batched(dt3_flat, hw, slice_idx, endpoints, line_mask,
                                trans, take_fn=take_fn)
 
@@ -266,8 +269,7 @@ def optimize_candidates(dt3_flat, angles, scene_tr, hw, feature_size,
         tmpl_lines, rast, feature_size, scene_tr, line_mask)
     valid = jnp.isfinite(neg) & jnp.isfinite(pos) & ~null_align
 
-    theta = geo.get_angle(tmpl_lines)
-    slice_idx = fm.closest_orientation_idx(angles, theta)            # (C, L)
+    slice_idx = fm.classify_lines(angles, tmpl_lines)                # (C, L)
     endpoints = tmpl_lines.reshape(c, l, 2, 2)
     lm = line_mask.astype(jnp.float32)
 

@@ -227,8 +227,7 @@ def optimize_candidates_batch_kernel(dt3, angles, scene_tr, feature_size,
     if cand_ok is not None:
         valid = valid & cand_ok
 
-    theta = geo.get_angle(cand_lines)                     # (S, C, L)
-    slice_idx = fm.closest_orientation_idx(angles, theta)
+    slice_idx = fm.classify_lines(angles, cand_lines)     # (S, C, L)
 
     if kernel_version() == 4:
         cap4 = None if items_cap is None else \

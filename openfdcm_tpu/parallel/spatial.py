@@ -46,7 +46,7 @@ from ..core.dt import row_pass
 from ..core.integral import _group_geometry
 from ..core.types import Distance, F32_MAX
 from ..matching.featuremap import (
-    Dt3Featuremap, Dt3Params, closest_orientation_idx, empty_featuremap,
+    Dt3Featuremap, Dt3Params, classify_lines, empty_featuremap,
     make_angles, propagation_steps, propagate_orientation_relax,
     scene_centered_translation,
 )
@@ -298,8 +298,7 @@ def _local_build(lines, line_mask, logical_hw, *, depth, phys_h, phys_w,
 
     # 1. classify + clip/rasterize (replicated inputs), scatter my rows
     angle_arr = jnp.asarray(np.asarray(angles, np.float32))
-    theta = geo.get_angle(lines)
-    slice_of_line = closest_orientation_idx(angle_arr, theta)
+    slice_of_line = classify_lines(angle_arr, lines)
     lhw = logical_hw.astype(jnp.float32)
     box = jnp.stack([jnp.zeros((), jnp.float32), lhw[1] - 1.0,
                      jnp.zeros((), jnp.float32), lhw[0] - 1.0])

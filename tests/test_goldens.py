@@ -45,6 +45,45 @@ def _run_object(obj):
     return scene_paths, res
 
 
+def test_obj02_bench_bucket_goldens():
+    """Default-lane regression guard for the r4 golden drift (VERDICT r5
+    #6): obj_02 scenes 3/6/9 — including the scene whose tmpl-74 match
+    drifted 1% on TPU in r4 — run in the BENCH configuration (the shared
+    (lmax, count) bucket over all four objects, bench.py protocol()), so
+    the default lane exercises the exact padded shapes the hardware bench
+    uses, not just per-object buckets."""
+    with open(GOLDENS) as f:
+        goldens = json.load(f)
+    data = {}
+    for obj in ["obj_01", "obj_02", "obj_03", "obj_04"]:
+        ts = [of.read(p) for p in sorted(
+            glob.glob(f"{ASSETS}/{obj}/templates/*.tmpl"))]
+        data[obj] = ts
+    lmax_to = -(-max(max(len(t) for t in ts) for ts in data.values()) // 8) * 8
+    count_to = -(-max(len(ts) for ts in data.values()) // 32) * 32
+
+    templates = data["obj_02"]
+    bank = of.prepare_templates(templates, lmax_to=lmax_to, count_to=count_to)
+    lengths = np.zeros(count_to, np.float32)
+    lengths[: len(templates)] = of.get_template_lengths(templates)
+    scene_paths = [f"{ASSETS}/obj_02/scene_{i}/camera_0.scene"
+                   for i in (3, 6, 9)]
+    scenes = [of.read(p) for p in scene_paths]
+    params = of.Dt3Params(30, 5.0, 1.0, of.Distance.L2)
+    res = of.match_many(scenes, bank, params, of.DefaultSearch(4, 10),
+                        of.BatchOptimize(10),
+                        penalty=of.ExponentialPenalty(1.5),
+                        template_lengths=lengths, top_k=3)
+    for path, matches in zip(scene_paths, res):
+        key = os.path.relpath(path, ASSETS)
+        want = goldens[key]
+        for rank, (w, g) in enumerate(zip(want, matches[: len(want)])):
+            assert g.tmpl_idx == w["tmpl_idx"], \
+                f"{key} rank {rank}: tmpl {g.tmpl_idx} != golden {w['tmpl_idx']}"
+            assert abs(g.score - w["score"]) <= 1e-5 + 1e-4 * abs(w["score"]), \
+                f"{key} rank {rank}: score {g.score} != golden {w['score']}"
+
+
 @pytest.mark.parametrize("obj", ["obj_01"] if not SLOW
                          else ["obj_01", "obj_02", "obj_03", "obj_04"])
 def test_pose_scene_goldens(obj):

@@ -37,7 +37,13 @@ def _run_recovery(scene_ratio, optimizer, distance=of.Distance.L2,
     assert len(matches) == expect_count
     best = matches[0]
     assert np.allclose(best.transform[:2, :2], np.eye(2), atol=1e-5)
-    assert np.allclose(best.transform[:2, 2], [0, 0], atol=1.0 / scene_ratio)
+    # + 1e-5: the recovered translation is mul * rast with f32 rounding, so
+    # a walk that stops exactly at the 1-pixel bound can overshoot it by
+    # ulps (r5: the cross-backend numerics hardening shifted a near-tie
+    # winner to a candidate at 1.0000005 px; the reference's own bound is
+    # the same geometric 1/scene_ratio, matchstrategy.test.cpp:63-64)
+    assert np.allclose(best.transform[:2, 2], [0, 0],
+                       atol=1.0 / scene_ratio + 1e-5)
 
 
 @pytest.mark.parametrize("optimizer", [
