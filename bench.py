@@ -175,37 +175,68 @@ def protocol(backend: str) -> dict:
                                  optimizer,
                                  penalty=of.ExponentialPenalty(1.5),
                                  template_lengths=lengths, top_k=10)
-        runs[obj] = (run, scene_paths, scenes)
+
+        def submit(scene_list, bank=bank, lengths=lengths):
+            return of.match_many_async(scene_list, bank, params, searcher,
+                                       optimizer,
+                                       penalty=of.ExponentialPenalty(1.5),
+                                       template_lengths=lengths, top_k=10)
+        runs[obj] = (run, submit, scene_paths, scenes)
 
     t0 = time.perf_counter()
     results = {obj: run(scenes)     # warmup: compile every shape bucket once
-               for obj, (run, _, scenes) in runs.items()}
+               for obj, (run, _, _, scenes) in runs.items()}
     warm = time.perf_counter() - t0
 
+    # Per-object rates: one sequential (unpipelined) pass each.
     per_obj = {}
     loop_error = None
-    for obj, (run, scene_paths, scenes) in runs.items():
-        walls = []
+    for obj, (run, _, scene_paths, scenes) in runs.items():
+        t0 = time.perf_counter()
+        try:
+            results[obj] = run(scenes)
+        except Exception as e:  # noqa: BLE001 — mid-loop wedge
+            if not per_obj:
+                raise
+            loop_error = f"{obj}: {type(e).__name__}: {e}"[:200]
+            print(f"# WARNING: sequential loop failed at {obj}: "
+                  f"{loop_error}", file=sys.stderr)
+            break
+        per_obj[obj] = (len(scenes), time.perf_counter() - t0)
+
+    # Headline: PIPELINED passes over all 40 scenes — every object's build
+    # and search are enqueued before the first result is fetched, so the
+    # chip never idles on host-side conversion or relay latency
+    # (of.match_many_async; identical results, verified per loop against
+    # the sequential pass above).  This is how a production server drives
+    # the chip; the reference's 22 FPS is likewise a sustained-throughput
+    # figure (pose_extimation_example.ipynb cell 13).
+    walls = []
+    if loop_error is None:
         for _ in range(n_loops):
             t0 = time.perf_counter()
             try:
-                results[obj] = run(scenes)
-            except Exception as e:  # noqa: BLE001 — mid-loop wedge
-                if not walls and not per_obj:
-                    raise
-                loop_error = f"{obj}: {type(e).__name__}: {e}"[:200]
-                print(f"# WARNING: steady-state loop failed at {obj} after "
+                collects = {obj: submit(scenes) for obj, (_, submit, _, scenes)
+                            in runs.items()}
+                piped = {obj: c() for obj, c in collects.items()}
+            except Exception as e:  # noqa: BLE001
+                loop_error = f"pipelined: {type(e).__name__}: {e}"[:200]
+                print(f"# WARNING: pipelined loop failed after "
                       f"{len(walls)}/{n_loops} loops: {loop_error}",
                       file=sys.stderr)
                 break
             walls.append(time.perf_counter() - t0)
-        if loop_error is not None and not walls:
-            break
-        wall = sorted(walls)[len(walls) // 2]   # median of completed loops
-        per_obj[obj] = (len(scenes), wall)
+            for obj in piped:           # identical results to sequential
+                a = [(m.tmpl_idx, m.score) for mm in piped[obj] for m in mm]
+                b = [(m.tmpl_idx, m.score)
+                     for mm in results[obj] for m in mm]
+                assert a == b, f"pipelined results diverged for {obj}"
 
     n_total = sum(n for n, _ in per_obj.values())
-    sps = n_total / sum(w for _, w in per_obj.values())
+    if walls:
+        sps = n_total / sorted(walls)[len(walls) // 2]
+    else:
+        sps = n_total / sum(w for _, w in per_obj.values())
     first = results[objs[0]]
     print(f"# warmup {warm:.1f}s; {n_total} scenes aggregate {sps:.2f}/s; "
           f"best[0]: tmpl={first[0][0].tmpl_idx} "
@@ -221,7 +252,7 @@ def protocol(backend: str) -> dict:
         with open(gpath) as f:
             goldens = json.load(f)
         golden_bad = 0
-        for obj, (run, scene_paths, scenes) in runs.items():
+        for obj, (run, _, scene_paths, scenes) in runs.items():
             if obj not in results:
                 continue
             for path, matches in zip(scene_paths, results[obj]):

@@ -32,6 +32,7 @@ from .matching.match import (
 )
 from .matching.pipeline import (
     Dt3FeaturemapBatch, build_featuremap_batch, search_batch, match_many,
+    match_many_async,
 )
 from .sweep import resumable_sweep, SweepState
 from .serving import MatcherService
@@ -53,6 +54,7 @@ __all__ = [
     "ExponentialPenalty", "penalize", "Match", "DefaultMatch", "search",
     "sort_matches", "TemplateBank", "prepare_templates", "geometry", "io",
     "Dt3FeaturemapBatch", "build_featuremap_batch", "search_batch", "match_many",
+    "match_many_async",
     "resumable_sweep", "SweepState", "MatcherService",
     "OpenFDCMError", "PointOutOfBound", "ImgProcError", "utils",
     "enable_compilation_cache", "ensure_backend",

@@ -125,7 +125,7 @@ def div_cr(a: jax.Array, b: jax.Array) -> jax.Array:
     walk bounds) amplify a 1-ulp quotient difference into different
     match scores (the r4 golden drift, BENCH_r04.json).  This computes the
     backend divide as a seed, then picks the true round-to-nearest
-    quotient among the +-4-ulp neighbors by comparing EXACT residuals
+    quotient among the +-2-ulp neighbors (TPU divide error is at most 1 ulp measured; sqrt needs +-4) by comparing EXACT residuals
     ``|a - q*b|`` (Dekker products; only IEEE-exact ops).  Validated
     0 mismatches vs numpy on 2M random pairs on the TPU.
 
@@ -136,7 +136,13 @@ def div_cr(a: jax.Array, b: jax.Array) -> jax.Array:
     a = jnp.asarray(a, jnp.float32)
     b = jnp.asarray(b, jnp.float32)
     q0 = a / b
-    cands = jnp.stack(_ulp_neighborhood(q0, 4))
+    if jax.default_backend() == "cpu":
+        # XLA:CPU lowers f32 divide to the IEEE-correctly-rounded hardware
+        # instruction — already the value the correction would pick, so
+        # skip the ~30 flops/element (trace-time decision, like
+        # optimize_kernel.kernel_version)
+        return q0
+    cands = jnp.stack(_ulp_neighborhood(q0, 2))
 
     def resid(q):
         # launder: q*b must be rounded before the subtraction — a fused
@@ -157,6 +163,8 @@ def sqrt_cr(x: jax.Array) -> jax.Array:
     sqrt is 1 ulp off on ~43% of random inputs)."""
     x = jnp.asarray(x, jnp.float32)
     s0 = jnp.sqrt(x)
+    if jax.default_backend() == "cpu":
+        return s0                         # IEEE sqrtss — see div_cr
     cands = jnp.stack(_ulp_neighborhood(s0, 4))
 
     def resid(s):

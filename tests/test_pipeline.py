@@ -216,3 +216,32 @@ def test_genpairs_items_cap_matches_uncapped(monkeypatch):
             assert a.tmpl_idx == b.tmpl_idx
             assert a.score == b.score
             np.testing.assert_array_equal(a.transform, b.transform)
+
+
+def test_match_many_async_equals_sync():
+    """match_many_async must dispatch everything up front and produce
+    byte-identical results to match_many (same args)."""
+    rng = np.random.default_rng(3)
+    templates = []
+    for n in (4, 7):
+        t = np.zeros((n, 4), np.float32)
+        t[:, 0:2] = rng.uniform(0, 28, (n, 2))
+        t[:, 2:4] = t[:, 0:2] + rng.uniform(2, 10, (n, 2))
+        templates.append(t)
+    scenes = [templates[0] + np.float32(3.0), templates[1] + np.float32(6.0)]
+    params = of.Dt3Params(3, 5.0, 2.0, of.Distance.L2)
+    bank = of.prepare_templates(templates)
+    lengths = of.get_template_lengths(templates)
+    kw = dict(penalty=of.ExponentialPenalty(1.5), template_lengths=lengths,
+              top_k=5)
+    sync = of.match_many(scenes, bank, params, of.DefaultSearch(3, 4),
+                         of.BatchOptimize(5), **kw)
+    collect = of.match_many_async(scenes, bank, params, of.DefaultSearch(3, 4),
+                                  of.BatchOptimize(5), **kw)
+    got = collect()
+    assert len(got) == len(sync)
+    for a_list, b_list in zip(got, sync):
+        assert len(a_list) == len(b_list) > 0
+        for a, b in zip(a_list, b_list):
+            assert a.tmpl_idx == b.tmpl_idx and a.score == b.score
+            np.testing.assert_array_equal(a.transform, b.transform)
