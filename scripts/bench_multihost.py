@@ -138,7 +138,55 @@ def main():
         "devices": rec.get("devices"),
         "t_global_s": rec.get("t_global_s"),
     }))
+    for row in scaling_projection():
+        print(json.dumps(row))
     sys.exit(0 if ok else 1)
+
+
+def scaling_projection():
+    """Analytic scenes/s-vs-N projection (ROOFLINE.md §5, VERDICT r5 #7).
+
+    Per-chip compute terms from the honest-sync single-chip decomposition
+    (scripts/profile_optimize.py, pose shapes, r5); collective-traffic
+    terms validated against the measured bytes of dryrun_multichip(8)
+    (MULTICHIP_r05).  Virtual-CPU walls cannot validate throughput, so
+    this composition is the committed stand-in for the >=80% target until
+    real multi-chip hardware is attachable.
+    """
+    per_batch_s = 0.43          # device compute / 10-scene batch (r5)
+    r1 = 10 / per_batch_s       # scenes/s/chip, relay-free
+    ici_gbps = 45e9             # v5e ICI usable per link/direction
+    hop_lat = 1e-6
+    rows = []
+    for hosts in (2, 4, 8):
+        n = hosts * 4           # 4 chips/host
+        # Path A: scene DP — zero cross-device bytes; ceil imbalance at
+        # 10 scenes/chip granularity assumed balanced (>=4 scenes/shard).
+        rows.append({"metric": "proj_scene_dp", "hosts": hosts,
+                     "chips": n, "scenes_per_s": round(r1 * n, 1),
+                     "efficiency": 1.0, "collective_bytes_per_scene": 0})
+        # Path B: bank sharding — one all_gather of k=10 rows x 32 B per
+        # shard per scene (measured: 1536 B at k=3,n=8 in the dryrun).
+        bytes_b = 10 * 32 * n
+        t_comm = bytes_b / ici_gbps + hop_lat * 2
+        t_comp = (1.0 / r1) / n
+        eff_b = t_comp / (t_comp + t_comm)
+        rows.append({"metric": "proj_bank_sharded", "hosts": hosts,
+                     "chips": n,
+                     "scenes_per_s": round(r1 * n * eff_b, 1),
+                     "efficiency": round(eff_b, 4),
+                     "collective_bytes_per_scene": bytes_b})
+        # Path C: spatial rows — (n-1)*D*W*16 B carries per build plus a
+        # sequential (n-1)-bubble wavefront (measured bytes: 21504 at
+        # (4,48,48)/8).  640^2, depth 30; build is ~90 ms/10 scenes.
+        bytes_c = (n - 1) * 30 * 640 * 16
+        t_build = 0.009         # per scene
+        t_comm_c = bytes_c / ici_gbps + (n - 1) * (hop_lat + t_build / n * 0.1)
+        eff_c = (t_build / n) / (t_build / n + t_comm_c)
+        rows.append({"metric": "proj_spatial_rows_build", "hosts": hosts,
+                     "chips": n, "efficiency": round(eff_c, 3),
+                     "collective_bytes_per_build": bytes_c})
+    return rows
 
 
 if __name__ == "__main__":
