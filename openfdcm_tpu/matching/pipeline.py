@@ -492,6 +492,12 @@ def _search_chunk_dispatch(searcher, optimizer, featuremaps, templates, scenes,
     # kernel path's working set is leaner (no dense gather operands).
     pair_budget = _PAIR_CHUNK * (4 if use_kernel else 1)
     max_pairs = max(pair_budget // max(s_count, 1), 64)
+    if use_kernel:
+        # the Pallas kernel accumulates into a (C=2*pairs, 128) f32 VMEM
+        # scratch: pairs beyond 16384 blow the ~128 MB VMEM budget
+        # (observed: 10k-template bank at one scene asked for a 164 MB
+        # scratch, PUBLISHED config-3)
+        max_pairs = min(max_pairs, 16384)
     parts = []
     for lv in lmax_values:
         sel_full = [np.nonzero(lp == lv)[0] for lp in lmax_of_pair]
@@ -634,6 +640,8 @@ def _genpairs_batch_dispatch(searcher, optimizer, featuremaps, bank, arrs,
     s_chunk = -(-s_total // max(n_chunks, 1))
     s_chunk = -(-s_chunk // n_dp) * n_dp
     max_pairs = max(pair_budget // max(s_chunk, 1), mt * ms)
+    if use_kernel:
+        max_pairs = min(max_pairs, 16384)   # kernel VMEM accumulator cap
     t_chunk = max(1, max_pairs // (mt * ms))
     t_chunk = min(t_chunk, t_count)
 

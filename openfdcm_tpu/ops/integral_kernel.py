@@ -125,4 +125,11 @@ def sweep_scan_tpu(imgs: jax.Array, deltas: jax.Array, flip: bool,
 
 
 def supported(h: int, w: int) -> bool:
-    return h % 128 == 0 and w % WB == 0 and h >= 128 and w >= WB
+    """Shape gate.  The (GB, WB, h) in+out blocks are double-buffered by
+    the Pallas pipeline: ~4 * GB * WB * h * 4 B of scoped VMEM.  Beyond
+    h=896 that exceeds the 16 MB scoped-vmem limit (observed: 30.09 MB
+    requested at h=1920, PUBLISHED config-2), so large canvases fall back
+    to the XLA sweep scan."""
+    vmem = 4 * GB * WB * h * 4
+    return (h % 128 == 0 and w % WB == 0 and h >= 128 and w >= WB
+            and vmem <= 15 * 1024 * 1024)

@@ -31,11 +31,17 @@ def _prop_kernel(x_ref, o_ref, *, steps):
 
 
 def supported(shape) -> bool:
-    """Tile-aligned stacks only; callers fall back to the XLA form."""
+    """Tile-aligned stacks only; callers fall back to the XLA form.
+
+    Also bounds scoped VMEM: the (D, TILE_H, W) in+out blocks are
+    double-buffered (~4*D*TILE_H*W*4 B); at 2944-wide depth-60 canvases
+    that is 43 MB > the 16 MB scoped limit (PUBLISHED config-2)."""
     if len(shape) < 3:
         return False
     d, h, w = shape[-3:]
-    return h % TILE_H == 0 and w % 128 == 0
+    vmem = 4 * d * TILE_H * w * 4
+    return (h % TILE_H == 0 and w % 128 == 0
+            and vmem <= 15 * 1024 * 1024)
 
 
 def propagate_orientation_tpu(dt3: jax.Array, steps, *,
