@@ -183,10 +183,13 @@ def protocol(backend: str) -> dict:
                                        template_lengths=lengths, top_k=10)
         runs[obj] = (run, submit, scene_paths, scenes)
 
+    cache_dir = "/root/repo/.jax_cache"
+    n_cache0 = len(os.listdir(cache_dir)) if os.path.isdir(cache_dir) else 0
     t0 = time.perf_counter()
     results = {obj: run(scenes)     # warmup: compile every shape bucket once
                for obj, (run, _, _, scenes) in runs.items()}
     warm = time.perf_counter() - t0
+    n_cache1 = len(os.listdir(cache_dir)) if os.path.isdir(cache_dir) else 0
 
     # Per-object rates: one sequential (unpipelined) pass each.
     per_obj = {}
@@ -285,6 +288,9 @@ def protocol(backend: str) -> dict:
         "unit": "scenes/s",
         "vs_baseline": round(sps / BASELINE_SCENES_PER_S, 3),
         "warmup_s": round(warm, 1),
+        # 0 new entries = fully warm cache (load-latency only); >0 = that
+        # many executables compiled fresh this run (VERDICT r5 #3)
+        "cache_entries_written": n_cache1 - n_cache0,
         "kernel_check_mismatches": kernel_bad,
         "golden_mismatches": golden_bad,
         "kernel_version": kv,           # 0 = XLA path (kernel disabled)

@@ -342,7 +342,10 @@ def cap_bucket(n_items: int) -> int:
     real items in a 2.10M grid, wasting 24% of kernel time.  The 1/8
     quantum caps padding at ~12.5% while still letting
     similar-but-unequal chunks (objects, scene groups) share compiled
-    executables (VERDICT r1 #5)."""
+    executables (VERDICT r1 #5).  r5 note: coarsening to 1/4 was tried to
+    cut warmup program-loads and cost ~8% steady-state kernel time — the
+    headline metric wins; warmup on a tunneled chip is load-latency-bound
+    (see ROADMAP "warmup anatomy")."""
     if n_items <= 4096:
         return 4096
     mag = 1 << (int(n_items - 1).bit_length() - 1)   # largest pow2 <= n-1
