@@ -300,10 +300,11 @@ def optimize_candidates_batch_kernel(dt3, angles, scene_tr, feature_size,
 
     def ext_eval(sel, active, sign, t0):
         vdir = jnp.float32(sign) * rast_f[sel]
-        if kernel_version() in (3, 4):
-            # the straggler extension pass stays on the v3 ext kernel (same
-            # DT3 banks); its compacted subset is small, so the v3 per-item
-            # latency is immaterial there
+        if kernel_version() == 4:
+            return wk.window_scores_ext_v4(
+                banks, cl_flat[sel], cm_flat[sel], vdir, active,
+                si_raw[sel], scene_of[sel], scene_tr, t0)
+        if kernel_version() == 3:
             return wk.window_scores_ext_v3(
                 banks, cl_flat[sel], cm_flat[sel], vdir, active,
                 si_raw[sel], scene_of[sel], scene_tr, t0)

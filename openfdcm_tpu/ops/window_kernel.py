@@ -1192,6 +1192,93 @@ def pack_gidx_v4(fields, *, q, two_sided=True):
     return kf, gidx
 
 
+def build_fields_ext_v4(cand_lines, cand_mask, vdir, active, slice_idx,
+                        scene_of, scene_tr, t0, *, depth, q):
+    """v4 item fields for the straggler extension pass: one-sided window
+    ``[t0, t0+cover]``, lanes ``l < 64`` hold steps ``t0 + l``.
+
+    Mirrors :func:`build_fields_ext_v3` minus the identity-deviance
+    machinery (v4 lane indices are computed, not inferred) and plus the
+    8-aligned (scene, major, slice) run padding the v4 group state machine
+    requires.  No per-candidate x-fit cap is needed: a one-sided window
+    spans <= cover+1+1 <= 63 columns, which always fits the plain-or-
+    rolled 128-lane chunk ``pack_gidx_v4`` selects from the covered
+    extremes."""
+    b, l = cand_mask.shape
+    rx, ry = vdir[..., 0], vdir[..., 1]
+    finite = jnp.isfinite(rx) & jnp.isfinite(ry)
+    is_x_major = jnp.abs(rx) >= jnp.abs(ry)
+    vx = jnp.where(is_x_major, rx, ry)
+    vy = jnp.where(is_x_major, ry, rx)
+    str_x = scene_tr[scene_of]                            # (b, 2)
+    trx = jnp.where(is_x_major, str_x[:, 0], str_x[:, 1])
+    tr_y = jnp.where(is_x_major, str_x[:, 1], str_x[:, 0])
+
+    avy = jnp.abs(vy)
+    cover = jnp.minimum(61.0,
+                        jnp.floor(Y_BUDGET3_EXT / jnp.maximum(avy, 1e-6)))
+    cover = jnp.where(finite & active, cover, 0.0)
+
+    ep = cand_lines.reshape(b, l, 2, 2)
+    e_x = ep[..., 0]
+    e_y = ep[..., 1]
+    e_maj = jnp.where(is_x_major[..., None, None], e_x, e_y)
+    e_min = jnp.where(is_x_major[..., None, None], e_y, e_x)
+
+    use = cand_mask & active[..., None] & finite[..., None]
+    wt = use.astype(jnp.float32)
+    sid = (scene_of[:, None] * 2 + (~is_x_major[:, None]).astype(jnp.int32)) \
+        * depth + slice_idx.astype(jnp.int32)
+    s_max = int(scene_tr.shape[0])
+    sid = jnp.where(use, sid, s_max * 2 * depth)
+
+    bc = lambda a: jnp.broadcast_to(a[..., None], (b, l)).reshape(-1)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (b, l), 0)
+    cols = [
+        sid.reshape(-1).astype(jnp.float32),
+        slot.reshape(-1).astype(jnp.float32),
+        wt.reshape(-1),
+        bc(cover),
+        e_maj[..., 0].reshape(-1), e_min[..., 0].reshape(-1),
+        e_maj[..., 1].reshape(-1), e_min[..., 1].reshape(-1),
+        bc(vx), bc(vy), bc(trx), bc(tr_y),
+        bc(t0),
+    ]
+    fields = jnp.stack(cols, axis=-1)
+    # 8-align every (scene, major, slice) run (counts via the sort
+    # fallback: the compacted ext stream is ~66k rows, negligible)
+    fields = _pad_runs_to_groups(fields, s_max * 2 * depth)
+
+    n_raw = fields.shape[0]
+    n_pad = -(-n_raw // IB) * IB
+    pad = jnp.zeros((n_pad - n_raw, NF3), jnp.float32)
+    pad = pad.at[:, G_SID].set(float(s_max * 2 * depth))
+    fields = jnp.concatenate([fields, pad], axis=0)
+
+    key = fields[:, G_SID].astype(jnp.int32)
+    _, perm = jax.lax.sort_key_val(key, jnp.arange(n_pad, dtype=jnp.int32))
+    fields = jnp.take(fields, perm, axis=0)
+    return fields, cover.astype(jnp.int32)
+
+
+def window_scores_ext_v4(banks, cand_lines, cand_mask, vdir, active,
+                         slice_idx, scene_of, scene_tr, t0):
+    """v4 extension-pass scores: ``(b, 64)`` where lane l is step ``t0 + l``
+    along ``vdir``, plus per-candidate covered steps ``cover (b,)`` —
+    drop-in for :func:`window_scores_ext_v3` at the v4 per-item cost
+    (the ext pass was the one remaining v3-latency consumer on the v4
+    path, ~17 ms/scene-batch on the pose bench)."""
+    s, depth, q, _ = banks[0].shape
+    b = cand_mask.shape[0]
+    fields, cover = build_fields_ext_v4(cand_lines, cand_mask, vdir, active,
+                                        slice_idx, scene_of, scene_tr, t0,
+                                        depth=depth, q=q)
+    kf, gidx = pack_gidx_v4(fields, q=q, two_sided=False)
+    out = window_scores_device_v4(banks, kf, gidx, s_dim=s, c_dim=b,
+                                  depth=depth, q=q, single_flush=True)
+    return out[0, :, :K_POS], cover
+
+
 def pad_margin_v4(s_count: int, depth: int) -> int:
     """Static upper bound on the extra stream rows the v4 builder adds:
     per-scene sentinels plus up to 7 run-alignment pads per (scene, major,

@@ -293,3 +293,67 @@ def test_v3_identity_deviance_detected_and_quarantined():
     _, tc2 = wk.build_fields_v3(clean, cand_mask, rast, valid, slice_idx,
                                 scene_tr, depth=d, q=q)
     assert int(tc2[0, 0]) > 0
+
+
+def test_v4_forced_stragglers_512(monkeypatch):
+    """VERDICT r5 #6: the straggler machinery (coverage hand-off, v4
+    extension passes, tail walks) at a REAL shape — 512² canvas, depth 30 —
+    with walks forced far beyond the covered window.
+
+    The DT3 decreases monotonically along +x, so every x-major candidate's
+    batch walk keeps descending to its translation limit (hundreds of
+    steps: several ext passes + the lockstep tail).  Steep rays (|vy| near
+    1) shrink tc to ~11, forcing the coverage hand-off immediately.  The
+    kernel path (Pallas interpreter) must match the XLA dense-walk path."""
+    import jax
+    import jax.numpy as jnp
+    from openfdcm_tpu.matching import optimize as opt
+    from openfdcm_tpu.matching import optimize_kernel as ok
+    from openfdcm_tpu.ops import window_kernel as wk
+
+    monkeypatch.setattr(wk, "INTERPRET", True)
+    monkeypatch.setenv("OPENFDCM_TPU_KERNEL", "1")
+
+    depth, q = 30, 512
+    rng = np.random.default_rng(11)
+    # dt3: decreasing along +x => walks in +x never see an ascent
+    base = (np.arange(q, dtype=np.float32)[::-1] * 3.0)[None, None, :]
+    dt3 = np.broadcast_to(base, (depth, q, q)).copy()
+    dt3 += rng.uniform(0, 0.5, (depth, q, q)).astype(np.float32)
+    dt3 = np.cumsum(dt3, axis=2, dtype=np.float32)  # integral'd slices
+    dt3 = dt3[None]                                  # (1, D, Q, Q)
+
+    c, l = 24, 4
+    p1 = rng.uniform(40, 120, (c, l, 2)).astype(np.float32)
+    d = rng.uniform(-12, 12, (c, l, 2)).astype(np.float32)
+    cand = np.concatenate([p1, p1 + d], axis=-1)[None]          # (1,C,L,4)
+    mask = np.ones((1, c, l), bool)
+    ang = np.concatenate([
+        rng.uniform(-0.2, 0.2, c // 2),          # shallow: big tc
+        rng.uniform(0.7, 0.78, c - c // 2),      # steep: tc ~ 11
+    ]).astype(np.float32)
+    align = np.stack([np.cos(ang), np.sin(ang)], axis=-1)[None]
+    scene_tr = np.zeros((1, 2), np.float32)
+    fs = np.asarray([[float(q), float(q)]], np.float32)
+
+    from openfdcm_tpu.matching import featuremap as fm
+    angles = jnp.asarray(fm.make_angles(depth))
+
+    ks, kt, kv = ok.optimize_candidates_batch_kernel(
+        jnp.asarray(dt3), angles, jnp.asarray(scene_tr), jnp.asarray(fs),
+        jnp.asarray(cand), jnp.asarray(mask), jnp.asarray(align),
+        mode="batch", window=10)
+    xs, xt, xv = opt.optimize_candidates(
+        jnp.asarray(dt3).reshape(-1), angles, jnp.asarray(scene_tr[0]),
+        (q, q), jnp.asarray(fs[0]), jnp.asarray(cand[0]),
+        jnp.asarray(mask[0]), jnp.asarray(align[0]),
+        mode="batch", window=10, dense_steps=0)
+
+    ks, kt, kv = np.asarray(ks)[0], np.asarray(kt)[0], np.asarray(kv)[0]
+    xs, xt, xv = np.asarray(xs), np.asarray(xt), np.asarray(xv)
+    np.testing.assert_array_equal(kv, xv)
+    ok_m = kv
+    # the walks must have actually left the covered window
+    assert np.abs(xt[ok_m]).max() > 100, "test failed to force stragglers"
+    np.testing.assert_allclose(ks[ok_m], xs[ok_m], rtol=1e-6)
+    np.testing.assert_array_equal(kt[ok_m], xt[ok_m])
